@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an operator from SURVEY.md §2 (or a
+training-data-pipeline op the engine adds on top); ``oracle_sql()`` holds
+the DuckDB-equivalent ANSI SQL. Float determinism strategy: money math in
+DECIMAL (exact, order-independent partial aggregation) rounded once before
+the final double cast; integer hashes via md5-prefix base-16 parse
+(identical in both engines); cosine similarity folded left-to-right in
+IEEE double in both engines, with only integer ids/ranks emitted.
 """
 
 from __future__ import annotations
@@ -13,26 +15,407 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from maxx_spark.session import load_tables
+from maxx_spark.operators import relational as R
+from maxx_spark.operators import windows as W
+from maxx_spark.operators import dedup as D
+from maxx_spark.operators import text as T
+from maxx_spark.operators import similarity as S
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect) — mirror the Spark expressions 1:1
+# ---------------------------------------------------------------------------
+
+NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+MD5I = "('0x' || substr(md5({x}), 1, 14))::BIGINT"
+P61 = (1 << 61) - 1
+
+
+def _minhash_params(num_hashes: int = 32):
+    return [((2 * i + 1) * 1_000_003 % P61, (i * i + i + 1) * 998_244_353 % P61) for i in range(num_hashes)]
+
+
+def _jaccard_cte(threshold: float, max_df: int = 64) -> str:
+    """Shared shingle/Jaccard SQL (word 3-grams over normalized text,
+    stop-shingles with doc-frequency > max_df removed — mirrors
+    dedup._capped_shingles)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks)
+), sh AS (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0
+  JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {max_df}) keep USING (shingle)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_size
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter_size,
+       (sa.n_sh + sb.n_sh - inter_size) AS union_size
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter_size * 1.0 / (sa.n_sh + sb.n_sh - inter_size) >= {threshold}
+ORDER BY 1, 2
+"""
+
+
+def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.05, max_df: int = 64) -> str:
+    r = num_hashes // bands
+    params = _minhash_params(num_hashes)
+    mins = ",\n    ".join(
+        f"min(({a} * xi + {b}) % {P61}) AS h{i}" for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {bi} AS band_id, md5({cat}) AS band_hash FROM sig".format(
+            bi=bi,
+            cat=" || ',' || ".join(f"h{bi * r + j}::VARCHAR" for j in range(r)),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks)
+), x AS (
+  SELECT doc_id, shingle, ({MD5I.format(x='shingle')} % {1 << 31}) AS xi FROM sh
+), sig AS (
+  SELECT doc_id, {mins} FROM x GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT p.doc_id AS doc_a, q.doc_id AS doc_b
+  FROM banded p JOIN banded q USING (band_id, band_hash)
+  WHERE p.doc_id < q.doc_id
+), shf AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df}) keep USING (shingle)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id
+), inter AS (
+  SELECT doc_a, doc_b, count(*) AS inter_size
+  FROM cand
+  JOIN shf a ON a.doc_id = doc_a
+  JOIN shf b ON b.doc_id = doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter_size,
+       (sa.n_sh + sb.n_sh - inter_size) AS union_size
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter_size * 1.0 / (sa.n_sh + sb.n_sh - inter_size) >= {threshold}
+ORDER BY 1, 2
+"""
+
+
+def _knn_sql(where_bucket: bool) -> str:
+    from maxx_spark.operators.similarity import PLANES
+
+    dot = (
+        "list_reduce(list_transform(generate_series(1, 64), "
+        "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (p, q) -> p + q)"
+    )
+    if where_bucket:
+        bucket_terms = " + ".join(
+            f"(CASE WHEN {dot.format(a=f'{plane!r}'.replace('(', '[').replace(')', ']'), b='embedding')} > 0 THEN {1 << b} ELSE 0 END)"
+            for b, plane in enumerate(PLANES)
+        )
+        bucket_cte = f", b AS (SELECT vec_id, ({bucket_terms})::BIGINT AS bucket FROM embeddings)"
+        join_bucket = "JOIN b bq ON bq.vec_id = q.vec_id JOIN b bc ON bc.vec_id = c.vec_id AND bc.bucket = bq.bucket"
+    else:
+        bucket_cte = ""
+        join_bucket = ""
+    return f"""
+WITH n AS (
+  SELECT vec_id, sqrt({dot.format(a='embedding', b='embedding')}) AS nrm FROM embeddings
+){bucket_cte}
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ({dot.format(a='q.embedding', b='c.embedding')} / (nq.nrm * nc.nrm)) DESC, c.vec_id
+         ) AS rnk
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+  JOIN n nq ON nq.vec_id = q.vec_id
+  JOIN n nc ON nc.vec_id = c.vec_id
+  {join_bucket}
+)
+WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: TPC-H Q1-style pricing summary."""
+    t = load_tables(spark, "/root/testdata/sf0.001", ("lineitem",))
+    return R.pricing_summary(t["lineitem"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def _t(spark, sf_dir, *names):
+        return load_tables(spark, sf_dir, names)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / join / agg
+        "q01_pricing_summary": lambda s, d: R.pricing_summary(_t(s, d, "lineitem")["lineitem"]),
+        "q02_revenue_by_nation": lambda s, d: R.revenue_by_nation(**_t(s, d, "customer", "orders", "lineitem", "nation", "region")),
+        "q03_top_parts_by_brand": lambda s, d: R.top_parts_by_brand(_t(s, d, "lineitem")["lineitem"], _t(s, d, "part")["part"]),
+        "q04_order_priority": lambda s, d: R.order_priority_counts(_t(s, d, "orders")["orders"], _t(s, d, "lineitem")["lineitem"]),
+        # E7 shadowing dedup
+        "q05_latest_event_per_user": lambda s, d: R.latest_event_per_user(_t(s, d, "events")["events"]),
+        # E2-E4, E8 window engine (batch mirrors of the streaming ops)
+        "q06_tumbling_window": lambda s, d: W.tumbling_counts(_t(s, d, "events")["events"]),
+        "q07_sliding_window": lambda s, d: W.sliding_counts(_t(s, d, "events")["events"]),
+        "q08_session_window": lambda s, d: W.session_windows(_t(s, d, "events")["events"]),
+        "q09_late_data_window": lambda s, d: W.late_data_windowed(_t(s, d, "events")["events"]),
+        "q10_salted_agg": lambda s, d: W.salted_agg(_t(s, d, "events")["events"]),
+        # dedup suite
+        "q11_exact_dedup": lambda s, d: D.exact_dedup(_t(s, d, "documents")["documents"]),
+        "q12_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_t(s, d, "documents")["documents"]),
+        "q13_minhash_lsh": lambda s, d: D.minhash_lsh_pairs(_t(s, d, "documents")["documents"]),
+        "q14_simhash": lambda s, d: D.simhash32(_t(s, d, "documents")["documents"]),
+        # text analysis suite
+        "q15_lang_id": lambda s, d: T.lang_id(_t(s, d, "documents")["documents"]),
+        "q16_quality_score": lambda s, d: T.quality_score(_t(s, d, "documents")["documents"]),
+        "q17_token_counts": lambda s, d: T.token_counts(_t(s, d, "documents")["documents"]),
+        "q18_fingerprint": lambda s, d: T.fingerprint(_t(s, d, "documents")["documents"]),
+        "q19_rolling_fingerprint": lambda s, d: T.rolling_fingerprint(_t(s, d, "documents")["documents"]),
+        # similarity search
+        "q20_knn_bruteforce": lambda s, d: S.knn_cosine_bruteforce(_t(s, d, "embeddings")["embeddings"]),
+        "q21_knn_lsh": lambda s, d: S.knn_cosine_lsh(_t(s, d, "embeddings")["embeddings"]),
+        "q22_label_centroids": lambda s, d: S.label_centroids(_t(s, d, "embeddings")["embeddings"]),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = "('the','a','of','and','to','in','is')"
+    langs = {
+        "de": "('der','die','das','und','ist','nicht')",
+        "en": en,
+        "es": "('el','la','los','y','es','una')",
+        "fr": "('le','la','les','et','est','une')",
+    }
+    ratio_cols = ",\n    ".join(
+        f"len(list_filter(w, x -> x IN {words}))::DOUBLE / greatest(len(w), 1) AS r_{lang}"
+        for lang, words in langs.items()
+    )
+    best = "greatest(r_de, r_en, r_es, r_fr)"
+    pred_cases = "\n    ".join(
+        f"WHEN r_{lang} >= 0.02 AND r_{lang} = {best} THEN '{lang}'" for lang in sorted(langs)
+    )
+    simhash_bits = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(32)
+    )
+    simhash_val = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+
+    return {
+        "q01_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity::DECIMAL(18,4)), 2)::DOUBLE AS sum_qty,
+  round(sum(l_extendedprice::DECIMAL(18,4)), 2)::DOUBLE AS sum_base_price,
+  round(sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))), 2)::DOUBLE AS sum_disc_price,
+  round(sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)) * (1::DECIMAL(18,4) + l_tax::DECIMAL(18,4))), 2)::DOUBLE AS sum_charge,
+  round(sum(l_quantity::DECIMAL(18,4))::DOUBLE / count(*), 6) AS avg_qty,
+  round(sum(l_extendedprice::DECIMAL(18,4))::DOUBLE / count(*), 6) AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "q02_revenue_by_nation": """
+SELECT n_name, r_name,
+  round(sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))), 2)::DOUBLE AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2 ORDER BY 1
+""",
+        "q03_top_parts_by_brand": """
+SELECT p_brand, p_partkey, p_name, total_qty, rnk::INTEGER AS rnk FROM (
+  SELECT p_brand, p_partkey, p_name, total_qty,
+         row_number() OVER (PARTITION BY p_brand ORDER BY total_qty DESC, p_partkey) AS rnk
+  FROM (
+    SELECT p_brand, p_partkey, p_name,
+           round(sum(l_quantity::DECIMAL(18,4)), 2)::DOUBLE AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2, 3
+  )
+) WHERE rnk <= 3 ORDER BY p_brand, rnk
+""",
+        "q04_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+GROUP BY 1 ORDER BY 1
+""",
+        "q05_latest_event_per_user": """
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+""",
+        "q06_tumbling_window": """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value::DECIMAL(18,4)), 2)::DOUBLE AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "q07_sliding_window": """
+SELECT window_start, count(*) AS n_events,
+       round(sum(value::DECIMAL(18,4)), 2)::DOUBLE AS sum_value
+FROM (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL (k * 15) MINUTE AS window_start, value
+  FROM events, generate_series(0, 3) AS s(k)
+)
+GROUP BY 1 ORDER BY 1
+""",
+        "q08_session_window": """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value::DECIMAL(18,4)), 2)::DOUBLE AS sum_value
+FROM sess GROUP BY user_id, sess_id ORDER BY user_id, session_start
+""",
+        "q09_late_data_window": """
+WITH arr AS (
+  SELECT *, max(ts) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            - INTERVAL 10 MINUTE AS wm
+  FROM events
+), kept AS (
+  SELECT * FROM arr WHERE wm IS NULL OR ts >= wm
+)
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, count(*) AS n_events
+FROM kept GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "q10_salted_agg": """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value::DECIMAL(18,4)), 2)::DOUBLE AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+""",
+        "q11_exact_dedup": f"""
+SELECT md5({NORM}) AS text_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_dupes
+FROM documents GROUP BY 1 ORDER BY 2
+""",
+        "q12_ngram_jaccard": _jaccard_cte(0.05),
+        "q13_minhash_lsh": _minhash_lsh_sql(),
+        "q14_simhash": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM}, ' ')) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ({MD5I.format(x='tok')} % {1 << 32}) AS h FROM toks
+), bits AS (
+  SELECT doc_id, {simhash_bits}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, ({simhash_val})::BIGINT AS simhash FROM bits ORDER BY doc_id
+""",
+        "q15_lang_id": f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split({NORM}, ' ') AS w FROM documents
+), r AS (
+  SELECT doc_id, lang,
+    {ratio_cols}
+  FROM t
+)
+SELECT doc_id, lang AS declared_lang,
+  CASE
+    {pred_cases}
+    ELSE 'und'
+  END AS pred_lang,
+  round({best}, 6) AS best_ratio
+FROM r ORDER BY doc_id
+""",
+        "q16_quality_score": f"""
+WITH t AS (
+  SELECT doc_id, text, string_split({NORM}, ' ') AS w,
+    length(text) AS n_char,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, len(w) AS n_tok, n_char,
+    CASE WHEN len(w) > 0 THEN n_alpha::DOUBLE / len(w) ELSE 0.0 END AS mean_wl,
+    CASE WHEN len(w) > 0 THEN len(list_filter(w, x -> x IN {en}))::DOUBLE / len(w) ELSE 0.0 END AS stop_ratio,
+    CASE WHEN n_char > 0 THEN n_punct::DOUBLE / n_char ELSE 0.0 END AS punct_ratio
+  FROM t
+)
+SELECT doc_id,
+  n_tok::INTEGER AS n_tokens,
+  n_char::BIGINT AS n_chars_obs,
+  round(mean_wl, 6) AS mean_word_len,
+  round(stop_ratio, 6) AS stopword_ratio,
+  round(punct_ratio, 6) AS punct_ratio,
+  ((CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1 ELSE 0 END)
+   + (CASE WHEN mean_wl >= 2.0 AND mean_wl <= 12.0 THEN 1 ELSE 0 END)
+   + (CASE WHEN stop_ratio >= 0.01 THEN 1 ELSE 0 END)
+   + (CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END))::INTEGER AS quality
+FROM m ORDER BY doc_id
+""",
+        "q17_token_counts": r"""
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\s+'))::INTEGER AS ws_tokens,
+  len(regexp_extract_all(lower(text), '[a-z0-9]+'))::INTEGER AS word_tokens
+FROM documents ORDER BY doc_id
+""",
+        "q18_fingerprint": r"""
+WITH n AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS fp_md5, length(norm)::BIGINT AS norm_len
+FROM n ORDER BY doc_id
+""",
+        "q19_rolling_fingerprint": f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id, {MD5I.format(x="array_to_string(w[i:i+7], ' ')")} AS h
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i FROM toks)
+), ranked AS (
+  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM sh
+)
+SELECT doc_id, (rn - 1)::INTEGER AS sig_rank, h AS sig_hash
+FROM ranked WHERE rn <= 4 ORDER BY doc_id, sig_rank
+""",
+        "q20_knn_bruteforce": _knn_sql(False).replace("AS rnk", "AS rnk", 1).replace("SELECT query_id, neighbor_id, rnk FROM (", "SELECT query_id, neighbor_id, rnk::INTEGER AS rnk FROM ("),
+        "q21_knn_lsh": _knn_sql(True).replace("SELECT query_id, neighbor_id, rnk FROM (", "SELECT query_id, neighbor_id, rnk::INTEGER AS rnk FROM ("),
+        "q22_label_centroids": """
+WITH ex AS (
+  SELECT label, (i - 1)::INTEGER AS pos, embedding[i]::DOUBLE AS v
+  FROM embeddings, generate_series(1, 64) AS s(i)
+)
+SELECT label, pos, round(sum(v) / count(*), 4) AS mean_v, count(*) AS n_members
+FROM ex GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    }

