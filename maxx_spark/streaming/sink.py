@@ -1,0 +1,116 @@
+"""Exactly-once sink (E9) + per-partition lineage & metrics (E10).
+
+Iceberg's idempotent-commit semantics emulated on a filesystem:
+
+- Output rows of micro-batch B land under ``data/batch_id=B/`` written ONCE:
+  a commit marker ``_commits/B.json`` is checked first; foreachBatch replays
+  (after failure/restart) see the marker and skip — the committed row set is
+  exactly the union over distinct batch ids.
+- The marker is written atomically (temp file + ``os.replace``) AFTER data
+  and lineage land, so a crash between data-write and marker-write replays
+  the batch into the same deterministic path (overwrite) — never duplicates.
+- Lineage: one row per (batch_id, partition_id) with input rows and event-
+  time bounds, written under ``lineage/``.
+
+At cluster scale the same protocol holds with an object store + Iceberg
+table commits; the marker becomes the Iceberg snapshot with
+``commit.retry`` keyed on (batch_id) — the logic here is the portable part.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ExactlyOnceParquetSink:
+    def __init__(self, base_dir: str, ts_col: str = "warc_ts"):
+        self.base = base_dir
+        self.ts_col = ts_col
+        os.makedirs(f"{base_dir}/_commits", exist_ok=True)
+        os.makedirs(f"{base_dir}/data", exist_ok=True)
+        os.makedirs(f"{base_dir}/lineage", exist_ok=True)
+
+    # -- commit log ---------------------------------------------------------
+
+    def _marker(self, batch_id: int) -> str:
+        return f"{self.base}/_commits/{batch_id}.json"
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._marker(batch_id))
+
+    def _commit(self, batch_id: int, meta: dict) -> None:
+        tmp = self._marker(batch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._marker(batch_id))  # atomic
+
+    def committed_batches(self) -> list[int]:
+        out = []
+        for name in os.listdir(f"{self.base}/_commits"):
+            if name.endswith(".json"):
+                out.append(int(name[:-5]))
+        return sorted(out)
+
+    # -- foreachBatch body ----------------------------------------------------
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replay after restart — already durable
+        t0 = time.time()
+        df = df.withColumn("__pid", F.spark_partition_id())
+        df.persist()
+        try:
+            n_rows = df.count()
+            # deterministic overwrite into the batch's own directory:
+            # a crash mid-write is healed by the replay overwriting it
+            (
+                df.drop("__pid")
+                .write.mode("overwrite")
+                .parquet(f"{self.base}/data/batch_id={batch_id}")
+            )
+            agg = [F.count(F.lit(1)).alias("rows")]
+            if self.ts_col in df.columns:
+                agg += [
+                    F.min(self.ts_col).cast("string").alias("min_ts"),
+                    F.max(self.ts_col).cast("string").alias("max_ts"),
+                ]
+            lineage = (
+                df.groupBy(F.col("__pid").alias("partition_id"))
+                .agg(*agg)
+                .withColumn("batch_id", F.lit(batch_id))
+            )
+            lineage.write.mode("overwrite").parquet(
+                f"{self.base}/lineage/batch_id={batch_id}"
+            )
+            self._commit(
+                batch_id,
+                {"rows": n_rows, "wall_s": round(time.time() - t0, 3), "ts": time.time()},
+            )
+        finally:
+            df.unpersist()
+
+    # -- readers --------------------------------------------------------------
+
+    def read_committed(self, spark) -> DataFrame:
+        """All rows of committed batches (the exactly-once result set)."""
+        committed = set(self.committed_batches())
+        dirs = [
+            f"{self.base}/data/batch_id={b}" for b in sorted(committed)
+            if os.path.isdir(f"{self.base}/data/batch_id={b}")
+        ]
+        if not dirs:
+            from maxx_spark.schema import CODE_UNITS
+
+            return spark.createDataFrame([], CODE_UNITS)
+        return spark.read.parquet(*dirs)
+
+    def read_lineage(self, spark) -> DataFrame:
+        import glob
+
+        dirs = glob.glob(f"{self.base}/lineage/batch_id=*")
+        return spark.read.parquet(*dirs) if dirs else None

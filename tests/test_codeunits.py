@@ -1,0 +1,123 @@
+"""Batch relational layer over code_units: shadowing dedup, folder rollup,
+C3 MRO, inherited members, builtins join (P19, P25-P27, P32, E7)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from maxx_spark.extract import extract_code_units
+from maxx_spark.gen import generate_pages_df
+from maxx_spark.operators.codeunits import (
+    _c3_linearize,
+    ancestor_closure,
+    builtins_df,
+    class_edges,
+    class_mro,
+    folder_rollup,
+    inherited_members,
+    link_builtin_bases,
+    shadowing_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def units(spark):
+    pages = generate_pages_df(spark, n_projects=2, n_filler=20)
+    u = extract_code_units(pages).cache()
+    u.count()
+    return u
+
+
+def test_c3_pure():
+    # classic diamond: D(B, C), B(A), C(A)
+    parents = {"D": ["B", "C"], "B": ["A"], "C": ["A"]}
+    assert _c3_linearize("D", parents) == ["D", "B", "C", "A"]
+    # single chain
+    assert _c3_linearize("Z", {"Z": ["Y"], "Y": ["X"]}) == ["Z", "Y", "X"]
+    # cycle detection
+    with pytest.raises(ValueError):
+        _c3_linearize("A", {"A": ["B"], "B": ["A"]})
+
+
+def test_shadowing_dedup(units):
+    d = shadowing_dedup(units)
+    # two accumulate.m per host (toolbox/ and toolbox/subdir/) → one survives
+    acc = d.where(
+        (F.col("unit_path") == "accumulate") & (F.col("kind") == "function")
+    ).collect()
+    hosts = [r["host"] for r in acc]
+    assert len(acc) == len(set(hosts)) == 2
+    # the shallower path (higher precedence) won
+    assert all("/subdir/" not in r["url"] for r in acc)
+
+
+def test_class_edges_and_closure(units):
+    e = class_edges(units)
+    pairs = {(r["cls"], r["base"]) for r in e.collect()}
+    assert ("FancyTracker", "Tracker") in pairs
+    assert ("TurboTracker", "FancyTracker") in pairs
+    # `handle` / `int8` are builtins — not resolvable as local classes
+    assert not any(b in ("handle", "int8") for _, b in pairs)
+
+    c = ancestor_closure(e)
+    anc = {(r["cls"], r["ancestor"], r["depth"]) for r in c.collect()}
+    assert ("TurboTracker", "FancyTracker", 1) in anc
+    assert ("TurboTracker", "Tracker", 2) in anc
+
+
+def test_class_mro(units):
+    mro = class_mro(units)
+    rows = mro.where(F.col("cls") == "TurboTracker").orderBy("mro_pos").collect()
+    # identical on both hosts; check one
+    got = [r["ancestor"] for r in rows if r["host"].startswith("mega")]
+    assert got == ["TurboTracker", "FancyTracker", "Tracker"]
+    # a base-less class still has a trivial MRO
+    lone = mro.where(F.col("cls") == "metrics.Gauge").collect()
+    assert lone and all(r["ancestor"] == "metrics.Gauge" for r in lone)
+
+
+def test_inherited_members(units):
+    inh = inherited_members(units)
+    rows = inh.where(
+        (F.col("cls") == "TurboTracker") & F.col("host").startswith("mega")
+    ).collect()
+    by_name = {r["member_name"]: r for r in rows}
+    # advance/Current/History defined on Tracker, visible on TurboTracker
+    assert by_name["advance"]["defined_in"] == "Tracker"
+    assert by_name["advance"]["inherited"] is True
+    assert by_name["Current"]["defined_in"] == "Tracker"
+    # Label defined on FancyTracker
+    assert by_name["Label"]["defined_in"] == "FancyTracker"
+    # own constructor overrides nothing but is its own member
+    assert by_name["TurboTracker"]["inherited"] is False
+    # nearest-definition-wins: FancyTracker ctor not visible on TurboTracker
+    assert "FancyTracker" in by_name  # inherited ctor name differs → present
+    assert by_name["FancyTracker"]["defined_in"] == "FancyTracker"
+
+
+def test_folder_rollup(units):
+    f = folder_rollup(units)
+    toolbox = f.where(
+        F.col("folder").endswith("/matlab/toolbox") & F.col("host").startswith("mega")
+    ).first()
+    assert toolbox is not None
+    assert toolbox["n_members"] >= 10
+    # Contents.m docstring becomes the folder docstring
+    assert "Toolbox overview" in toolbox["contents_docstring"]
+
+
+def test_builtin_link(spark, units):
+    b = builtins_df(spark)
+    linked = link_builtin_bases(units, b)
+    rows = linked.where(F.col("cls") == "Tracker").collect()
+    assert rows and all(
+        r["base_name"] == "handle" and r["doc_url"].endswith("/handle.html") for r in rows
+    )
+
+
+def test_mro_plan_is_distributed(units):
+    """The MRO computation must not collect to the driver: its plan contains
+    FlatMapGroupsInPandas (distributed applyInPandas), and the closure is a
+    bounded iterative join."""
+    mro = class_mro(units)
+    plan = mro._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan

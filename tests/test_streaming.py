@@ -1,0 +1,270 @@
+"""Streaming engine tests: exactly-once sink under replay + restart,
+watermark late-data behavior, session windows, stateful resolver with
+out-of-order arrivals (E1-E10)."""
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from maxx_spark.schema import PAGES
+from maxx_spark.streaming.pipeline import (
+    extraction_query,
+    session_unit_counts,
+    salted_host_counts,
+    windowed_unit_counts,
+    run_to_memory,
+)
+from maxx_spark.streaming.resolver import (
+    assemble_classfolders_stream,
+    resolve_bases_stream,
+)
+from maxx_spark.streaming.sink import ExactlyOnceParquetSink
+from maxx_spark.streaming.source import stage_pages_dir, pages_stream
+
+
+@pytest.fixture()
+def staged(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    n = stage_pages_dir(spark, src, n_chunks=3, n_projects=2, n_filler=30)
+    return src, n
+
+
+def test_exactly_once_extraction(spark, staged, tmp_path):
+    src, _ = staged
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q, sink = extraction_query(spark, src, out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    committed = sink.read_committed(spark)
+    n1 = committed.count()
+    assert n1 > 0
+    batches = sink.committed_batches()
+    assert len(batches) >= 2  # maxFilesPerTrigger=1 over 3 files
+
+    # batch replay (simulating a foreachBatch retry) must be a no-op
+    sample = committed.limit(5)
+    sink(sample, batches[0])
+    assert sink.read_committed(spark).count() == n1
+
+    # restart from the same checkpoint: no new input → no new batches, no dupes
+    q2, sink2 = extraction_query(spark, src, out, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination(300)
+    assert sink2.read_committed(spark).count() == n1
+
+    # exactly-once vs batch reference: committed row set == batch pipeline rows
+    from maxx_spark.extract import extract_code_units
+
+    batch_ref = extract_code_units(
+        spark.read.schema(PAGES).parquet(src)
+    )
+    assert committed.count() == batch_ref.count()
+    a = {tuple(r) for r in committed.select("url", "unit_path", "kind", "name").collect()}
+    b = {tuple(r) for r in batch_ref.select("url", "unit_path", "kind", "name").collect()}
+    assert a == b
+
+    # lineage recorded per (batch, partition)
+    lineage = sink.read_lineage(spark)
+    assert lineage is not None
+    lrows = lineage.collect()
+    assert sum(r["rows"] for r in lrows) == n1
+    assert all(r["min_ts"] is not None for r in lrows)
+
+
+def test_incremental_resume_processes_new_files(spark, staged, tmp_path):
+    src, _ = staged
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    q, sink = extraction_query(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    n1 = sink.read_committed(spark).count()
+
+    # new files arrive; resumed query picks up ONLY them
+    stage_pages_dir(spark, src, n_chunks=1, n_projects=1, n_filler=5, seed=99)
+    q2, sink2 = extraction_query(spark, src, out, ckpt)
+    q2.awaitTermination(300)
+    n2 = sink2.read_committed(spark).count()
+    assert n2 > n1
+
+
+def test_windowed_counts_stream(spark, staged, tmp_path):
+    src, _ = staged
+    pages = pages_stream(spark, src)
+    agg = windowed_unit_counts(pages, delay="10 minutes", size="5 minutes")
+    run_to_memory(agg, "win_counts_t", str(tmp_path / "c1"), output_mode="append")
+    rows = spark.sql("select * from win_counts_t").collect()
+    assert rows and all(r["n_units"] > 0 for r in rows)
+    hosts = {r["host"] for r in rows}
+    assert any("example" in h for h in hosts)
+
+
+def test_session_windows_stream(spark, staged, tmp_path):
+    src, _ = staged
+    pages = pages_stream(spark, src)
+    agg = session_unit_counts(pages, delay="10 minutes", gap="2 minutes")
+    run_to_memory(agg, "sess_counts_t", str(tmp_path / "c2"))
+    rows = spark.sql("select * from sess_counts_t").collect()
+    assert rows
+    for r in rows:
+        assert r["session_end"] > r["session_start"]
+
+
+def test_salted_host_counts_matches_plain(spark, tmp_path):
+    # late-free input: the batch reference has no watermark, so drop-eligible
+    # rows would differ by design (that behavior is covered separately in
+    # test_watermark_drops_late_rows)
+    src = str(tmp_path / "pages_nolate")
+    stage_pages_dir(spark, src, n_chunks=3, n_projects=2, n_filler=30,
+                    late_frac=0.0, ooo_frac=0.0)
+    # far-future heartbeat advances the watermark past every real window so
+    # append mode finalizes them before the availableNow query ends
+    hb = [("https://heartbeat/x", dt.datetime(2024, 3, 3), None, "hb", "en")]
+    spark.createDataFrame(hb, PAGES).coalesce(1).write.mode("append").parquet(src)
+
+    pages = pages_stream(spark, src, max_files_per_trigger=1)
+    agg = salted_host_counts(pages, delay="10 minutes", n_salt=8)
+    run_to_memory(agg, "salted_t", str(tmp_path / "c3"))
+    got = {
+        (r["window_start"], r["host"]): r["n_pages"]
+        for r in spark.sql("select * from salted_t where host != 'heartbeat'").collect()
+    }
+    # batch reference: plain (unsalted) windowed count
+    batch = (
+        spark.read.schema(PAGES).parquet(src)
+        .withColumn("host", F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1))
+        .where(F.col("host") != "heartbeat")
+        .groupBy(F.window("warc_ts", "5 minutes").alias("w"), "host")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "host", "n")
+    )
+    want = {(r["ws"], r["host"]): r["n"] for r in batch.collect()}
+    assert got == want
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving in a later micro-batch with event time far behind the
+    watermark must be dropped from the windowed aggregate."""
+    src = str(tmp_path / "latepages")
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    early = [
+        (f"https://h1/x/f{i}.m", t0 + dt.timedelta(minutes=i), None,
+         "function y = f(x)\ny = x;\nend", "matlab")
+        for i in range(30)
+    ]
+    late = [
+        ("https://h1/x/late.m", t0 - dt.timedelta(hours=3), None,
+         "function y = late(x)\ny = x;\nend", "matlab")
+    ]
+    hb = [("https://hb/x/h.m", t0 + dt.timedelta(days=1), None, "x=1;", "matlab")]
+    import time as _time
+
+    def _write(rows, mtime_offset):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        spark.createDataFrame(rows, PAGES).coalesce(1).write.mode("append").parquet(src)
+        now = _time.time()
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (now + mtime_offset, now + mtime_offset))
+
+    # FileStreamSource orders micro-batches by mtime. Spark filters late
+    # records against the PREVIOUS batch's watermark (watermarkForLateEvents
+    # lags eviction by one batch), so an intermediate batch must sit between
+    # the watermark-advancing data and the late row for the drop to engage.
+    mid = [("https://mid/x/m.m", t0 + dt.timedelta(minutes=29), None, "x=2;", "matlab")]
+    _write(early, 0)
+    _write(mid, 60)
+    _write(late, 120)
+    _write(hb, 180)
+
+    pages = (
+        spark.readStream.schema(PAGES).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    agg = windowed_unit_counts(pages, delay="10 minutes", size="5 minutes")
+    run_to_memory(agg, "late_t", str(tmp_path / "c4"))
+    rows = spark.sql("select * from late_t where host = 'h1'").collect()
+    total = sum(r["n_units"] for r in rows)
+    # the late row (3h behind the watermark, arriving in a later micro-batch)
+    # must be dropped; all 30 on-time rows must be counted
+    assert total == 30
+    windows = {r["window_start"] for r in rows}
+    late_window = t0 - dt.timedelta(hours=3)
+    assert all(w > late_window for w in windows)
+
+
+def test_resolver_out_of_order_permutations(spark, tmp_path):
+    """E6: base/derived/grandchild arriving in every order produce the same
+    resolved row set."""
+    from maxx_spark.extract import extract_code_units
+    import itertools
+
+    t0 = dt.datetime(2024, 6, 1, 9, 0, 0)
+    files = {
+        "Base": "classdef Base\nend",
+        "Mid": "classdef Mid < Base\nend",
+        "Leaf": "classdef Leaf < Mid\nend",
+    }
+    expected = {("Base", "Mid", True), ("Mid", "Leaf", True)}
+
+    for pi, perm in enumerate(itertools.permutations(files.items())):
+        src = str(tmp_path / f"perm{pi}")
+        for k, (name, text) in enumerate(perm):
+            row = [(f"https://h9/x/{name}.m", t0 + dt.timedelta(seconds=k), None, text, "matlab")]
+            spark.createDataFrame(row, PAGES).coalesce(1).write.mode("append").parquet(src)
+        pages = spark.readStream.schema(PAGES).option("maxFilesPerTrigger", "1").parquet(src)
+        units = extract_code_units(pages)
+        resolved = resolve_bases_stream(units)
+        run_to_memory(resolved, f"resolve_t{pi}", str(tmp_path / f"ck{pi}"))
+        rows = spark.sql(f"select * from resolve_t{pi}").collect()
+        got = {(r["identifier"], r["derived"], r["resolved"]) for r in rows}
+        assert got == expected, f"perm {pi}: {got}"
+
+
+def test_classfolder_assembly_stream(spark, tmp_path):
+    """E5: @Ledger member files arriving out of order assemble into one row
+    once the session gap elapses (flushed by a watermark-advancing page)."""
+    from maxx_spark.extract import extract_code_units
+    from maxx_spark.gen import CF_MAIN, CF_METHOD, CF_STATIC
+
+    t0 = dt.datetime(2024, 7, 1, 8, 0, 0)
+    rows1 = [
+        (f"https://cf.example/x/@Ledger/{n}.m", t0 + dt.timedelta(seconds=s), None, txt, "matlab")
+        for n, txt, s in [
+            ("summarize", CF_METHOD, 2),
+            ("Ledger", CF_MAIN, 0),
+            ("blank_ledger", CF_STATIC, 4),
+        ]
+    ]
+    # two watermark-advancing heartbeats: the first raises the watermark past
+    # the session gap; the second provides the batch in which the (now
+    # expired) event-time timer actually fires — availableNow does not run a
+    # trailing no-data batch, and timer firing uses the eviction watermark of
+    # a *real* batch.
+    rows2 = [("https://cf.example/x/hb.m", t0 + dt.timedelta(hours=1), None, "x = 1;", "matlab")]
+    rows3 = [("https://cf.example/x/hb2.m", t0 + dt.timedelta(hours=2), None, "x = 2;", "matlab")]
+    src = str(tmp_path / "cfpages")
+    import time as _time
+
+    def _write(rows, off):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        spark.createDataFrame(rows, PAGES).coalesce(1).write.mode("append").parquet(src)
+        now = _time.time()
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (now + off, now + off))
+
+    _write(rows1, 0)
+    _write(rows2, 60)
+    _write(rows3, 120)
+
+    pages = spark.readStream.schema(PAGES).option("maxFilesPerTrigger", "1").parquet(src)
+    units = extract_code_units(pages)
+    assembled = assemble_classfolders_stream(units, delay="1 minute")
+    run_to_memory(assembled, "cf_t", str(tmp_path / "ck_cf"))
+    rows = spark.sql("select * from cf_t").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["class_path"] == "Ledger"
+    assert r["has_classdef"] is True
+    assert sorted(r["member_files"]) == ["Ledger", "blank_ledger", "summarize"]
