@@ -199,7 +199,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_knn_bruteforce": lambda s, d: S.knn_cosine_bruteforce(_t(s, d, "embeddings")["embeddings"]),
         "q21_knn_lsh": lambda s, d: S.knn_cosine_lsh(_t(s, d, "embeddings")["embeddings"]),
         "q22_label_centroids": lambda s, d: S.label_centroids(_t(s, d, "embeddings")["embeddings"]),
+        # MATLAB extraction payload + inheritance layer over the deterministic
+        # generated pages corpus (sf-independent); oracles are golden VALUES
+        # tables regenerated by tools/regen_golden.py
+        "q23_extract_units": lambda s, d: _q_extract_units(s),
+        "q24_class_mro": lambda s, d: _q_class_mro(s),
+        "q25_inherited_members": lambda s, d: _q_inherited(s),
+        "q26_shadowing_dedup": lambda s, d: _q_shadowing(s),
     }
+
+
+def _gen_units(s: SparkSession):
+    from maxx_spark.extract import extract_code_units
+    from maxx_spark.gen import generate_pages_df
+
+    return extract_code_units(generate_pages_df(s, n_projects=2, n_filler=50))
+
+
+def _q_extract_units(s: SparkSession) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    u = _gen_units(s)
+    return u.select(
+        "url",
+        "unit_path",
+        "kind",
+        "name",
+        F.col("lineno").cast("long").alias("lineno"),
+        F.col("endlineno").cast("long").alias("endlineno"),
+        F.md5(F.coalesce(F.col("docstring"), F.lit(""))).alias("doc_md5"),
+        F.md5(F.coalesce(F.col("extracted_text"), F.lit(""))).alias("text_md5"),
+    ).orderBy("url", "unit_path", "kind", "name")
+
+
+def _q_class_mro(s: SparkSession) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from maxx_spark.operators.codeunits import class_mro
+
+    return class_mro(_gen_units(s)).select(
+        "host", "cls", F.col("mro_pos").cast("long").alias("mro_pos"), "ancestor"
+    ).orderBy("host", "cls", "mro_pos")
+
+
+def _q_inherited(s: SparkSession) -> DataFrame:
+    from maxx_spark.operators.codeunits import inherited_members
+
+    return inherited_members(_gen_units(s)).select(
+        "host", "cls", "member_name", "member_kind", "defined_in", "inherited"
+    ).orderBy("host", "cls", "member_name")
+
+
+def _q_shadowing(s: SparkSession) -> DataFrame:
+    from maxx_spark.operators.codeunits import shadowing_dedup
+
+    return shadowing_dedup(_gen_units(s)).select(
+        "host", "unit_path", "kind", "url"
+    ).orderBy("host", "unit_path", "kind", "url")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -418,4 +474,21 @@ WITH ex AS (
 SELECT label, pos, round(sum(v) / count(*), 4) AS mean_v, count(*) AS n_members
 FROM ex GROUP BY 1, 2 ORDER BY 1, 2
 """,
+        **_golden_oracles(),
+    }
+
+
+def _golden_oracles() -> dict[str, str]:
+    """VALUES-table oracles for the non-SQL-expressible operators (golden
+    outputs over the deterministic corpus; see tools/regen_golden.py).
+    Falls back to rows-only checks when golden.py hasn't been generated."""
+    try:
+        from maxx_spark import golden
+    except ImportError:
+        return {}
+    return {
+        "q23_extract_units": golden.Q23_EXTRACT_UNITS_SQL,
+        "q24_class_mro": golden.Q24_CLASS_MRO_SQL,
+        "q25_inherited_members": golden.Q25_INHERITED_MEMBERS_SQL,
+        "q26_shadowing_dedup": golden.Q26_SHADOWING_DEDUP_SQL,
     }

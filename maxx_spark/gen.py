@@ -463,3 +463,45 @@ def generate_pages_rows(
 
 def generate_pages_df(spark: SparkSession, **kwargs) -> DataFrame:
     return spark.createDataFrame(generate_pages_rows(**kwargs), PAGES)
+
+
+def synth_class_source(name: str, n_methods: int = 20, seed: int = 1) -> str:
+    """A heavyweight classdef (representative of real-world MATLAB files):
+    n methods with arguments blocks, validators, and docstrings."""
+    rng = random.Random(seed)
+    parts = [
+        f"classdef {name} < handle",
+        f"% Synthetic heavy class {name}",
+        "% Exercises extraction throughput on realistically sized files.",
+        "",
+        "    properties",
+    ]
+    for i in range(max(2, n_methods // 4)):
+        parts.append(f"        Field{i} (1,:) double = []")
+        parts.append(f"            % Storage field number {i}")
+    parts += ["    end", "", "    methods"]
+    for i in range(n_methods):
+        v = rng.choice(["mustBePositive", "mustBeFinite", "mustBeReal"])
+        parts += [
+            f"        function out = step{i}(obj, x, opts)",
+            f"            % Step method {i} of {name}",
+            "            % Applies a staged transformation to x.",
+            "",
+            "            arguments",
+            "                obj",
+            f"                x (1,:) double {{{v}}}",
+            f"                    % Input vector for step {i}",
+            f"                opts.gain (1,1) double = {i + 1}",
+            "                    % Gain multiplier",
+            "            end",
+            "",
+            f"            y = x * opts.gain + {i};",
+            "            out = cumsum(y);",
+            "        end",
+            "",
+        ]
+    parts += ["    end", "end", ""]
+    return "\n".join(parts)
+
+
+HEAVY_TEMPLATES = [synth_class_source(f"Heavy{k}", 16 + 4 * k, seed=k) for k in range(4)]

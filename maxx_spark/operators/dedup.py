@@ -73,7 +73,7 @@ def _capped_shingles(documents: DataFrame, n: int, max_df: int) -> DataFrame:
     shingle at web scale turns the join quadratic; with it the per-shingle
     fanout is bounded by max_df^2. Jaccard is then computed on the filtered
     shingle universe (applied identically in the SQL oracle)."""
-    sh = word_shingles(documents, n)
+    sh = word_shingles(documents, n).cache()  # reused: df-count + index join
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return sh.join(df_counts.where(F.col("df") <= max_df).select("shingle"), "shingle")
 
@@ -117,7 +117,9 @@ def md5i(col, nhex: int = 14):
     return F.conv(F.substring(F.md5(col), 1, nhex), 16, 10).cast("long")
 
 
-def minhash_signatures(documents: DataFrame, num_hashes: int = 32, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 32, n: int = 3, shingles: DataFrame | None = None
+) -> DataFrame:
     """MinHash signatures: h_i(x) = (a_i*x + b_i) mod P over md5i shingle
     ints; signature = array of per-i minima. Two-stage agg, fully built-in:
     explode shingles → per-doc min of each hash. The per-hash mins compute
@@ -129,7 +131,7 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 32, n: int = 3) -
     """
     # deterministic (a_i, b_i) parameters — fixed literals, odd multipliers
     params = [((2 * i + 1) * 1_000_003 % _P, (i * i + i + 1) * 998_244_353 % _P) for i in range(num_hashes)]
-    sh = word_shingles(documents, n)
+    sh = shingles if shingles is not None else word_shingles(documents, n)
     x = md5i(F.col("shingle")) % F.lit(1 << 31)
     mins = [
         F.min((F.lit(a % _P) * x + F.lit(b % _P)) % F.lit(_P)).alias(f"h{i}")
@@ -155,7 +157,8 @@ def minhash_lsh_pairs(
     at scale this is the difference between O(candidates) and O(n^2).
     """
     r = num_hashes // bands
-    sig = minhash_signatures(documents, num_hashes, n)
+    sh0 = word_shingles(documents, n).cache()  # shared: signatures + verify
+    sig = minhash_signatures(documents, num_hashes, n, shingles=sh0)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -176,7 +179,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification of candidates only
-    sh = _capped_shingles(documents, n, max_df)
+    df_counts = sh0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh = sh0.join(df_counts.where(F.col("df") <= max_df).select("shingle"), "shingle").cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

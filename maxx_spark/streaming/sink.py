@@ -62,37 +62,39 @@ class ExactlyOnceParquetSink:
         if self.is_committed(batch_id):
             return  # replay after restart — already durable
         t0 = time.time()
-        df = df.withColumn("__pid", F.spark_partition_id())
-        df.persist()
-        try:
-            n_rows = df.count()
-            # deterministic overwrite into the batch's own directory:
-            # a crash mid-write is healed by the replay overwriting it
-            (
-                df.drop("__pid")
-                .write.mode("overwrite")
-                .parquet(f"{self.base}/data/batch_id={batch_id}")
-            )
-            agg = [F.count(F.lit(1)).alias("rows")]
-            if self.ts_col in df.columns:
-                agg += [
-                    F.min(self.ts_col).cast("string").alias("min_ts"),
-                    F.max(self.ts_col).cast("string").alias("max_ts"),
-                ]
-            lineage = (
-                df.groupBy(F.col("__pid").alias("partition_id"))
-                .agg(*agg)
-                .withColumn("batch_id", F.lit(batch_id))
-            )
-            lineage.write.mode("overwrite").parquet(
-                f"{self.base}/lineage/batch_id={batch_id}"
-            )
-            self._commit(
-                batch_id,
-                {"rows": n_rows, "wall_s": round(time.time() - t0, 3), "ts": time.time()},
-            )
-        finally:
-            df.unpersist()
+        data_dir = f"{self.base}/data/batch_id={batch_id}"
+        # ONE pass over the (expensive) batch plan: write data including the
+        # producing partition id. Lineage is then a cheap columnar re-scan of
+        # the written parquet (reads only __pid + ts), not a second run of
+        # the extraction — at scale this halves the batch cost vs
+        # persist+count+write.
+        df.withColumn("__pid", F.spark_partition_id()).write.mode(
+            "overwrite"
+        ).parquet(data_dir)
+
+        spark = df.sparkSession
+        written = spark.read.parquet(data_dir)
+        agg = [F.count(F.lit(1)).alias("rows")]
+        if self.ts_col in written.columns:
+            agg += [
+                F.min(self.ts_col).cast("string").alias("min_ts"),
+                F.max(self.ts_col).cast("string").alias("max_ts"),
+            ]
+        lineage = (
+            written.groupBy(F.col("__pid").alias("partition_id"))
+            .agg(*agg)
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        lineage.persist()
+        n_rows = sum(r["rows"] for r in lineage.select("rows").collect())
+        lineage.write.mode("overwrite").parquet(
+            f"{self.base}/lineage/batch_id={batch_id}"
+        )
+        lineage.unpersist()
+        self._commit(
+            batch_id,
+            {"rows": n_rows, "wall_s": round(time.time() - t0, 3), "ts": time.time()},
+        )
 
     # -- readers --------------------------------------------------------------
 
@@ -107,7 +109,8 @@ class ExactlyOnceParquetSink:
             from maxx_spark.schema import CODE_UNITS
 
             return spark.createDataFrame([], CODE_UNITS)
-        return spark.read.parquet(*dirs)
+        df = spark.read.parquet(*dirs)
+        return df.drop("__pid") if "__pid" in df.columns else df
 
     def read_lineage(self, spark) -> DataFrame:
         import glob

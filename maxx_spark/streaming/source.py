@@ -38,3 +38,42 @@ def stage_pages_dir(spark: SparkSession, out_dir: str, n_chunks: int = 4, **gen_
             "append"
         ).parquet(out_dir)
     return len(rows)
+
+
+def stage_heavy_pages(
+    spark: SparkSession, out_dir: str, n_pages: int, n_files: int = 64
+) -> int:
+    """Distributed staging of a large heavyweight pages table (throughput
+    benchmarking): ~11 KB classdef sources cycled from gen.HEAVY_TEMPLATES,
+    a 50% mega-host skew, and monotone-with-jitter event times. Generation
+    runs in Spark (spark.range), not on the driver."""
+    from pyspark.sql import functions as F
+
+    from maxx_spark.gen import HEAVY_TEMPLATES
+
+    tpl = F.array(*[F.lit(t) for t in HEAVY_TEMPLATES])
+    df = (
+        spark.range(n_pages)
+        .withColumn(
+            "host",
+            F.when(F.col("id") % 2 == 0, F.lit("mega-mat.example.com")).otherwise(
+                F.concat(F.lit("proj"), (F.col("id") % 64).cast("string"), F.lit(".example.org"))
+            ),
+        )
+        .select(
+            F.concat(
+                F.lit("https://"), F.col("host"), F.lit("/toolbox/Heavy"),
+                (F.col("id") % 4).cast("string"), F.lit("_"), F.col("id").cast("string"),
+                F.lit(".m"),
+            ).alias("url"),
+            (
+                F.lit("2024-03-01 00:00:00").cast("timestamp")
+                + (F.col("id") % 86400) * F.expr("INTERVAL 1 SECOND")
+            ).alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.element_at(tpl, (F.col("id") % 4 + 1).cast("int")).alias("text"),
+            F.lit("matlab").alias("lang"),
+        )
+    )
+    df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    return n_pages

@@ -300,3 +300,31 @@ def test_source_slice_byte_identity(ref_files):
             assert got.lstrip().startswith("function"), p
         elif u.kind == "class":
             assert got.lstrip().startswith("classdef"), p
+
+
+# -- docstring sections (P33) --------------------------------------------------
+
+
+def test_docstring_sections():
+    from maxx_spark.matparse.sections import docstring_sections
+
+    doc = (
+        "Clipped addition helper\n\nArguments:\n  x (double) - First input\n"
+        "  y (double) - Second input\n\nReturns:\n  result (double) - Sum\n"
+        "\nExample:\n  z = clipped_add(1, 2)\n"
+    )
+    secs = docstring_sections(doc)
+    kinds = [k for k, _ in secs]
+    assert kinds == ["description", "parameters", "returns", "examples"]
+    assert "First input" in dict(secs)["parameters"]
+    assert docstring_sections(None) == []
+    assert docstring_sections("just text") == [("description", "just text")]
+
+
+def test_docstring_sections_on_ref_corpus(ref_files):
+    from maxx_spark.matparse.sections import docstring_sections
+
+    m = _parse(ref_files, "pragma_function.m")
+    secs = dict(docstring_sections(m.docstring.value))
+    assert "parameters" in secs and "x (double)" in secs["parameters"]
+    assert "returns" in secs

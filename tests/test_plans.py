@@ -1,0 +1,61 @@
+"""Plan-quality gates: the physical plans must be the ones we'd want at
+100 TB — pushdown reaches the scan, dims broadcast, no stray shuffles,
+column pruning holds."""
+
+from pyspark.sql import functions as F
+
+from maxx_spark.operators import relational as R
+from maxx_spark.plans import assert_pushdown, plan_summary, read_schema_columns
+from maxx_spark.session import load_tables
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    df = R.pricing_summary(t["lineitem"])
+    assert assert_pushdown(df, "l_shipdate")
+    cols = read_schema_columns(df)
+    # projection pruning: only the 7 needed columns are read
+    assert set(cols) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+
+
+def test_revenue_join_strategy(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation", "region"))
+    df = R.revenue_by_nation(t["customer"], t["orders"], t["lineitem"], t["nation"], t["region"])
+    df.collect()  # let AQE finalize
+    s = plan_summary(df)
+    # dims broadcast; the only sort-merge candidate (lineitem⨝orders) may be
+    # broadcast too at tiny SF — but never more than one non-broadcast join
+    assert s["broadcast_joins"] >= 3
+    assert s["sort_merge_joins"] <= 1
+
+
+def test_window_aggregate_is_partial(spark, sf_dir):
+    from maxx_spark.operators.windows import tumbling_counts
+
+    t = load_tables(spark, sf_dir, ("events",))
+    df = tumbling_counts(t["events"])
+    df.collect()  # finalize the AQE plan so codegen ids are visible
+    s = plan_summary(df)
+    # window() implies IsNotNull(ts), which must reach the scan
+    assert s["pushed_filters"] is True
+    assert s["wholestage_codegen_spans"] >= 1
+    # single shuffle for the aggregate (plus one for the final orderBy range)
+    assert s["shuffles"] <= 2
+
+
+def test_filter_before_extraction_udf(spark):
+    """The lang filter must sit upstream of the opaque Python stage."""
+    from maxx_spark.extract import extract_code_units
+    from maxx_spark.gen import generate_pages_df
+    from maxx_spark.plans import executed_plan
+
+    pages = generate_pages_df(spark, n_projects=1, n_filler=10)
+    df = extract_code_units(pages)
+    p = executed_plan(df)
+    # FilterExec appears below (after in plan text) the MapInPandas node
+    assert "MapInPandas" in p
+    i_map = p.index("MapInPandas")
+    assert "Filter" in p[i_map:], "lang filter must execute before the UDF"
