@@ -95,8 +95,12 @@ _BLOCK_CLOSE_RE = re.compile(r"^\s*%\}\s*$")
 
 
 def _split_code_comment(raw: str) -> tuple[str, str, bool]:
-    """Return (code_part, continues). Quote-aware: ``%`` inside a string is
-    not a comment; ``'`` after an operand is transpose, not a string."""
+    """Return (code_part, neutralized, continues). Quote-aware: ``%`` inside
+    a string is not a comment; ``'`` after an operand is transpose, not a
+    string. Fast path: lines without %, quotes, or ``...`` (the vast
+    majority) skip the char scan entirely."""
+    if "%" not in raw and "'" not in raw and '"' not in raw and "..." not in raw:
+        return raw, raw, False
     code_chars: list[str] = []
     neut: list[str] = []
     i, n = 0, len(raw)
@@ -290,6 +294,10 @@ _STRUCTURAL = frozenset(
 )
 
 _WORD_RE = re.compile(r"[A-Za-z_]\w*")
+_KW_RE = re.compile(
+    r"\b(?:if|for|while|switch|try|parfor|spmd|function|classdef|arguments"
+    r"|properties|methods|enumeration|events|end)\b"
+)
 
 
 @dataclass
@@ -328,6 +336,18 @@ def _block_tree(lines: list[Line]) -> list[Block]:
         # join continuations for header capture
         code = ln.neut
         j = i
+        # fast path: no block keyword anywhere in the line → only the net
+        # bracket depth and the end-of-line statement boundary matter
+        if not _KW_RE.search(code):
+            depth = max(
+                0,
+                depth
+                + code.count("(") + code.count("[") + code.count("{")
+                - code.count(")") - code.count("]") - code.count("}"),
+            )
+            stmt_start = not ln.continues
+            i += 1
+            continue
         pos = 0
         while pos < len(code):
             m = _WORD_RE.search(code, pos)
