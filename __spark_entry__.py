@@ -206,7 +206,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_class_mro": lambda s, d: _q_class_mro(s),
         "q25_inherited_members": lambda s, d: _q_inherited(s),
         "q26_shadowing_dedup": lambda s, d: _q_shadowing(s),
+        # temporal joins + CEP
+        "q27_asof_join": lambda s, d: _q_asof(s, d),
+        "q28_range_join_bands": lambda s, d: _q_bands(s, d),
+        "q29_funnel_counts": lambda s, d: _q_funnel(s, d),
+        # embedding near-dup
+        "q30_cosine_near_dup": lambda s, d: S.cosine_near_dup_pairs(_t(s, d, "embeddings")["embeddings"]),
+        # multimodal plumbing + search-path registry (golden oracles)
+        "q31_media_decode": lambda s, d: _q_media_decode(s),
+        "q32_frame_sample": lambda s, d: _q_frame_sample(s),
+        "q33_searchpath": lambda s, d: _q_searchpath(s),
     }
+
+
+def _q_asof(s: SparkSession, d: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from maxx_spark.operators.joins import asof_join, dedup_per_ts
+
+    events = load_tables(s, d, ("events",))["events"]
+    clicks = dedup_per_ts(
+        events.where(F.col("event_type") == "click"), "user_id", "ts", "event_id"
+    ).select("user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"))
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    j = asof_join(purchases, clicks, "user_id", "ts", "c_ts", ["c_id"])
+    return j.select(
+        "user_id", "purchase_id", F.col("r_c_id").alias("click_id")
+    ).orderBy("user_id", "purchase_id")
+
+
+def _q_bands(s: SparkSession, d: str) -> DataFrame:
+    from maxx_spark.operators.joins import value_band_counts
+
+    return value_band_counts(load_tables(s, d, ("events",))["events"])
+
+
+def _q_funnel(s: SparkSession, d: str) -> DataFrame:
+    from maxx_spark.operators.joins import funnel_counts
+
+    return funnel_counts(load_tables(s, d, ("events",))["events"])
+
+
+def _q_media_decode(s: SparkSession) -> DataFrame:
+    from maxx_spark.operators.multimodal import decode_media, generate_media_df
+
+    return decode_media(generate_media_df(s, 120)).select(
+        "media_id", "kind", "width", "height", "sample_rate", "n_frames", "body_bytes"
+    ).orderBy("media_id")
+
+
+def _q_frame_sample(s: SparkSession) -> DataFrame:
+    from maxx_spark.operators.multimodal import frame_sample, generate_media_df
+
+    return frame_sample(generate_media_df(s, 120)).orderBy("media_id", "frame_idx")
+
+
+def _q_searchpath(s: SparkSession) -> DataFrame:
+    from maxx_spark.operators.searchpath import SearchPath
+
+    # subdir registered FIRST → it shadows the toolbox copy (the inverse of
+    # q26's depth-rank winner), proving addpath-order precedence
+    sp = SearchPath([
+        "https://mega-mat.example.com/matlab/toolbox/subdir",
+        "https://mega-mat.example.com/matlab/toolbox",
+        "https://proj1.example.org/matlab/toolbox/subdir",
+        "https://proj1.example.org/matlab/toolbox",
+    ])
+    return sp.resolve(_gen_units(s)).select(
+        "host", "unit_path", "kind", "url"
+    ).orderBy("host", "unit_path", "kind", "url")
 
 
 def _gen_units(s: SparkSession):
@@ -474,6 +544,63 @@ WITH ex AS (
 SELECT label, pos, round(sum(v) / count(*), 4) AS mean_v, count(*) AS n_members
 FROM ex GROUP BY 1, 2 ORDER BY 1, 2
 """,
+        "q27_asof_join": """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+), purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY 1, 2
+""",
+        "q28_range_join_bands": """
+WITH bands(band_id, lo, hi) AS (VALUES
+  (0, 0.0, 25.0), (1, 25.0, 50.0), (2, 50.0, 75.0), (3, 75.0, 100.0),
+  (4, 100.0, 125.0), (5, 125.0, 150.0), (6, 150.0, 175.0), (7, 175.0, 200.0))
+SELECT band_id, lo, hi, count(*) AS n_events,
+       round(sum(value::DECIMAL(18,4)), 2)::DOUBLE AS sum_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY 1, 2, 3 ORDER BY 1
+""",
+        "q29_funnel_counts": """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+), purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), joined AS MATERIALIZED (
+  SELECT p.user_id, p.ts AS p_ts, c.ts AS c_ts
+  FROM purchases p
+  ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT user_id, count(*) AS n_funnels
+FROM (SELECT * FROM joined WHERE c_ts IS NOT NULL)
+WHERE c_ts >= p_ts - INTERVAL 10 MINUTE
+GROUP BY 1 ORDER BY 1
+""",
+        "q30_cosine_near_dup": """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> x::DOUBLE / sqrt(list_reduce(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE), (p, q) -> p + q))
+         ) AS ne
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_reduce(list_transform(generate_series(1, 64), i -> a.ne[i] * b.ne[i]), (p, q) -> p + q) >= 0.5
+ORDER BY 1, 2
+""",
         **_golden_oracles(),
     }
 
@@ -486,9 +613,17 @@ def _golden_oracles() -> dict[str, str]:
         from maxx_spark import golden
     except ImportError:
         return {}
-    return {
+    out = {
         "q23_extract_units": golden.Q23_EXTRACT_UNITS_SQL,
         "q24_class_mro": golden.Q24_CLASS_MRO_SQL,
         "q25_inherited_members": golden.Q25_INHERITED_MEMBERS_SQL,
         "q26_shadowing_dedup": golden.Q26_SHADOWING_DEDUP_SQL,
     }
+    for name, attr in (
+        ("q31_media_decode", "Q31_MEDIA_DECODE_SQL"),
+        ("q32_frame_sample", "Q32_FRAME_SAMPLE_SQL"),
+        ("q33_searchpath", "Q33_SEARCHPATH_SQL"),
+    ):
+        if hasattr(golden, attr):
+            out[name] = getattr(golden, attr)
+    return out

@@ -41,6 +41,10 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q18_fingerprint",
         "q20_knn_bruteforce",
         "q21_knn_lsh",
+        "q27_asof_join",
+        "q29_funnel_counts",
+        "q30_cosine_near_dup",
+        "q31_media_decode",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

@@ -123,3 +123,31 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
         F.round(F.col("s") / F.col("n"), 4).alias("mean_v"),
         F.col("n").alias("n_members"),
     ).orderBy("label", "pos")
+
+
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    cosine >= threshold. Brute-force n^2 is the correctness baseline; the
+    scale path buckets candidates first (see knn_cosine_lsh — identical
+    bucketing applies). Emits integer ids only.
+
+    Normalization happens ONCE per vector (projection), so each pair costs
+    a single fold instead of three — the oracle mirrors the exact same
+    normalize-then-dot order so doubles stay bit-identical."""
+    norm = _norm(F.col("embedding"))
+    ne = F.transform(F.col("embedding"), lambda x: x.cast("double") / norm)
+    n = embeddings.select("vec_id", ne.alias("ne"))
+    a = n.select(F.col("vec_id").alias("vec_a"), F.col("ne").alias("na"))
+    b = n.select(F.col("vec_id").alias("vec_b"), F.col("ne").alias("nb"))
+    cos = F.aggregate(
+        F.zip_with(F.col("na"), F.col("nb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cos >= threshold)
+        .select("vec_a", "vec_b")
+        .orderBy("vec_a", "vec_b")
+    )

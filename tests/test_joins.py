@@ -1,0 +1,84 @@
+"""Temporal joins (as-of, range, funnel) and the search-path registry."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from maxx_spark.operators.joins import asof_join, funnel_counts, value_band_counts
+from maxx_spark.operators.searchpath import SearchPath
+
+
+def test_asof_join_semantics(spark):
+    t = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), 100), (1, ts(20), 101), (2, ts(5), 102)],
+        "user_id long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(9), 900), (1, ts(15), 901), (1, ts(20), 902), (3, ts(1), 903)],
+        "user_id long, r_ts timestamp, rid long",
+    )
+    out = {
+        r["lid"]: r["r_rid"]
+        for r in asof_join(left, right, "user_id", "ts", "r_ts", ["rid"]).collect()
+    }
+    assert out[100] == 900  # latest right at or before ts(10) is ts(9)
+    assert out[101] == 902  # equal timestamps match (>= rule)
+    assert out[102] is None  # no right rows for user 2 → left kept with NULL
+
+
+def test_value_band_counts_match_plain(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {r["band_id"]: r["n_events"] for r in value_band_counts(events).collect()}
+    want = {
+        r["b"]: r["n"]
+        for r in events.where("value >= 0 and value < 200")
+        .select(F.floor(F.col("value") / 25).cast("int").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_funnel_counts(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = funnel_counts(events).collect()
+    # sanity: every funnel count is at most that user's purchase count
+    purchases = {
+        r["user_id"]: r["n"]
+        for r in events.where("event_type = 'purchase'")
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        assert 0 < r["n_funnels"] <= purchases[r["user_id"]]
+
+
+def test_searchpath_precedence(spark):
+    from maxx_spark.extract import extract_code_units
+    from maxx_spark.gen import generate_pages_df
+
+    units = extract_code_units(generate_pages_df(spark, n_projects=1, n_filler=0)).cache()
+    top = "https://mega-mat.example.com/matlab/toolbox"
+    sub = f"{top}/subdir"
+
+    win_top = SearchPath([top, sub]).resolve(units).where(
+        (F.col("unit_path") == "accumulate") & (F.col("kind") == "function")
+    ).first()
+    assert "/subdir/" not in win_top["url"]
+
+    win_sub = SearchPath([sub, top]).resolve(units).where(
+        (F.col("unit_path") == "accumulate") & (F.col("kind") == "function")
+    ).first()
+    assert "/subdir/" in win_sub["url"]
+
+    # rmpath restores the other winner; addpath(to_end) does not shadow
+    sp = SearchPath([sub, top]).rmpath(sub).addpath(sub, to_end=True)
+    win = sp.resolve(units).where(
+        (F.col("unit_path") == "accumulate") & (F.col("kind") == "function")
+    ).first()
+    assert "/subdir/" not in win["url"]
