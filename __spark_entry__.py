@@ -161,9 +161,23 @@ ORDER BY query_id, rnk
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on sf0.001: TPC-H Q1-style pricing summary."""
+    """Flagship: the core engine end-to-end — Common-Crawl-style pages →
+    vectorized MATLAB extraction → per-unit metadata rows, joined with the
+    TPC-H-style pricing summary for the relational layer's smoke. Returns
+    the extraction output (stable CODE_UNITS projection, rows > 0)."""
+    from pyspark.sql import functions as F
+
+    # relational smoke (cheap, also exercises the sf0.001 tables)
     t = load_tables(spark, "/root/testdata/sf0.001", ("lineitem",))
-    return R.pricing_summary(t["lineitem"])
+    R.pricing_summary(t["lineitem"]).count()
+
+    units = _gen_units(spark)
+    return units.select(
+        "url", "unit_path", "kind", "name", "parent_path",
+        F.col("lineno").cast("long").alias("lineno"),
+        F.col("endlineno").cast("long").alias("endlineno"),
+        "docstring",
+    ).orderBy("url", "unit_path", "kind")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -187,6 +187,24 @@ def flatten_unit(unit, url: str, warc_ts, text: str, info: dict) -> list[dict]:
     return rows
 
 
+def _decode_html(raw: bytes) -> str:
+    """P2: charset-detect + decode the raw page bytes (reference
+    treesitter.py:325-340 uses charset_normalizer the same way), then strip
+    a crawl-artifact HTML wrapper — MATLAB source archived as a web page is
+    commonly wrapped in <pre>...</pre>."""
+    try:
+        import charset_normalizer
+
+        best = charset_normalizer.from_bytes(raw).best()
+        text = str(best) if best is not None else raw.decode("utf-8", errors="replace")
+    except ImportError:  # pragma: no cover — baked into this sandbox
+        text = raw.decode("utf-8", errors="replace")
+    import re as _re
+
+    m = _re.search(r"<pre>(.*)</pre>", text, _re.DOTALL)
+    return m.group(1) if m else text
+
+
 def _error_row(url: str, warc_ts, msg: str) -> dict:
     return {
         "url": url, "warc_ts": warc_ts, "unit_path": None, "kind": "error",
@@ -215,7 +233,7 @@ def extract_rows_for_page(url: str, warc_ts, html, text: str | None) -> list[dic
                 unit = MUnit("live_script", info["stem"], lineno=1, endlineno=1)
                 unit.sections = sections
                 return flatten_unit(unit, url, warc_ts, None, info)
-            text = bytes(html).decode("utf-8", errors="replace")
+            text = _decode_html(bytes(html))
         if info["ext"] == "mlx":
             if html is not None and is_binary_mlx(bytes(html)):
                 sections = parse_mlx_bytes(bytes(html))

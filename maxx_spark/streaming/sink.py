@@ -34,6 +34,7 @@ class ExactlyOnceParquetSink:
         os.makedirs(f"{base_dir}/_commits", exist_ok=True)
         os.makedirs(f"{base_dir}/data", exist_ok=True)
         os.makedirs(f"{base_dir}/lineage", exist_ok=True)
+        os.makedirs(f"{base_dir}/errors", exist_ok=True)
 
     # -- commit log ---------------------------------------------------------
 
@@ -91,6 +92,16 @@ class ExactlyOnceParquetSink:
             f"{self.base}/lineage/batch_id={batch_id}"
         )
         lineage.unpersist()
+        # dead-letter routing (P34): error rows are copied out of the
+        # already-written batch (cheap columnar re-scan, no recompute of the
+        # extraction plan) for operational triage; the data dir stays the
+        # single source of truth
+        if "kind" in written.columns and "error" in written.columns:
+            errs = written.where(F.col("kind") == "error")
+            if not errs.isEmpty():
+                errs.coalesce(1).write.mode("overwrite").parquet(
+                    f"{self.base}/errors/batch_id={batch_id}"
+                )
         self._commit(
             batch_id,
             {"rows": n_rows, "wall_s": round(time.time() - t0, 3), "ts": time.time()},

@@ -268,3 +268,57 @@ def test_classfolder_assembly_stream(spark, tmp_path):
     assert r["class_path"] == "Ledger"
     assert r["has_classdef"] is True
     assert sorted(r["member_files"]) == ["Ledger", "blank_ledger", "summarize"]
+
+
+def test_resolver_with_rocksdb_state_store(spark, tmp_path):
+    """The stateful resolver must run on the RocksDB state store provider
+    (the bounded-memory scale path for large keyed state)."""
+    from maxx_spark.extract import extract_code_units
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        t0 = dt.datetime(2024, 6, 2, 9, 0, 0)
+        files = {"RBase": "classdef RBase\nend", "RLeaf": "classdef RLeaf < RBase\nend"}
+        src = str(tmp_path / "rocks")
+        for k, (name, text) in enumerate(reversed(files.items())):
+            row = [(f"https://r9/x/{name}.m", t0 + dt.timedelta(seconds=k), None, text, "matlab")]
+            spark.createDataFrame(row, PAGES).coalesce(1).write.mode("append").parquet(src)
+        pages = spark.readStream.schema(PAGES).option("maxFilesPerTrigger", "1").parquet(src)
+        resolved = resolve_bases_stream(extract_code_units(pages))
+        run_to_memory(resolved, "rocks_t", str(tmp_path / "rocks_ck"))
+        rows = spark.sql("select * from rocks_t").collect()
+        assert {(r["identifier"], r["derived"], r["resolved"]) for r in rows} == {
+            ("RBase", "RLeaf", True)
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_dead_letter_routing(spark, tmp_path):
+    """Error rows land in errors/batch_id=N as well as the data dir."""
+    import glob as _glob
+    from maxx_spark.streaming.sink import ExactlyOnceParquetSink
+    from maxx_spark.extract import extract_code_units
+
+    t0 = dt.datetime(2024, 6, 3)
+    rows = [
+        ("https://dl/x/good.m", t0, None, "function y = good(x)\ny = x;\nend", "matlab"),
+        ("https://dl/x/bad.mlx", t0, b"PK\x03\x04 broken zip bytes!", None, "matlab"),
+    ]
+    df = spark.createDataFrame(rows, PAGES)
+    units = extract_code_units(df)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "dlq"))
+    sink(units, 0)
+    errs = _glob.glob(str(tmp_path / "dlq/errors/batch_id=0/*.parquet"))
+    assert errs
+    edf = spark.read.parquet(str(tmp_path / "dlq/errors/batch_id=0"))
+    assert edf.count() == 1 and "BadZipFile" in edf.first()["error"]
+    # data dir still holds everything (single source of truth)
+    assert sink.read_committed(spark).count() == 2
