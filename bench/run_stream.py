@@ -33,6 +33,7 @@ def main() -> None:
         .config("spark.sql.files.openCostInBytes", "134217728")
         .config("spark.executorEnv.PYTHONPATH", "/root/repo")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -54,6 +54,9 @@ def get_spark(
         # local[32] at sf0.1 and a 1000-executor cluster at 100 TB.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # INT96 (the default) carries no parquet column statistics; the
+        # sink's footer-based lineage needs min/max on the event-time column
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -65,47 +65,92 @@ class ExactlyOnceParquetSink:
         t0 = time.time()
         data_dir = f"{self.base}/data/batch_id={batch_id}"
         # ONE pass over the (expensive) batch plan: write data including the
-        # producing partition id. Lineage is then a cheap columnar re-scan of
-        # the written parquet (reads only __pid + ts), not a second run of
-        # the extraction — at scale this halves the batch cost vs
-        # persist+count+write.
+        # producing partition id.
         df.withColumn("__pid", F.spark_partition_id()).write.mode(
             "overwrite"
         ).parquet(data_dir)
 
-        spark = df.sparkSession
-        written = spark.read.parquet(data_dir)
-        agg = [F.count(F.lit(1)).alias("rows")]
-        if self.ts_col in written.columns:
-            agg += [
-                F.min(self.ts_col).cast("string").alias("min_ts"),
-                F.max(self.ts_col).cast("string").alias("max_ts"),
-            ]
-        lineage = (
-            written.groupBy(F.col("__pid").alias("partition_id"))
-            .agg(*agg)
-            .withColumn("batch_id", F.lit(batch_id))
-        )
-        lineage.persist()
-        n_rows = sum(r["rows"] for r in lineage.select("rows").collect())
-        lineage.write.mode("overwrite").parquet(
-            f"{self.base}/lineage/batch_id={batch_id}"
-        )
-        lineage.unpersist()
-        # dead-letter routing (P34): error rows are copied out of the
-        # already-written batch (cheap columnar re-scan, no recompute of the
-        # extraction plan) for operational triage; the data dir stays the
-        # single source of truth
-        if "kind" in written.columns and "error" in written.columns:
-            errs = written.where(F.col("kind") == "error")
-            if not errs.isEmpty():
-                errs.coalesce(1).write.mode("overwrite").parquet(
-                    f"{self.base}/errors/batch_id={batch_id}"
-                )
+        # Lineage from the parquet FOOTERS (Iceberg-manifest style): one
+        # output file per task ↔ partition, so per-file row counts and
+        # warc_ts column statistics ARE the per-partition lineage — read
+        # driver-side in milliseconds, no second Spark job over the batch.
+        lineage_rows, has_errors = self._footer_lineage(data_dir, batch_id)
+        n_rows = sum(r["rows"] for r in lineage_rows)
+        self._write_lineage(lineage_rows, batch_id)
+
+        # dead-letter routing (P34): only scan for error rows when the
+        # footers show any non-null `error` values
+        if has_errors:
+            spark = df.sparkSession
+            written = spark.read.parquet(data_dir)
+            (
+                written.where(F.col("kind") == "error")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{self.base}/errors/batch_id={batch_id}")
+            )
         self._commit(
             batch_id,
             {"rows": n_rows, "wall_s": round(time.time() - t0, 3), "ts": time.time()},
         )
+
+    def _footer_lineage(self, data_dir: str, batch_id: int):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        rows = []
+        has_errors = False
+        for path in sorted(glob.glob(f"{data_dir}/part-*.parquet")):
+            md = pq.ParquetFile(path).metadata
+            part_id = int(os.path.basename(path).split("-")[1])
+            n = md.num_rows
+            mn = mx = None
+            err_values = 0
+            schema_names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                if self.ts_col in schema_names:
+                    st = g.column(schema_names[self.ts_col]).statistics
+                    if st and st.has_min_max:
+                        mn = min(mn, st.min) if mn is not None else st.min
+                        mx = max(mx, st.max) if mx is not None else st.max
+                if "error" in schema_names:
+                    st = g.column(schema_names["error"]).statistics
+                    if st is not None and st.null_count is not None:
+                        err_values += g.column(schema_names["error"]).num_values - st.null_count
+                    else:  # no stats → must assume errors possible
+                        err_values += 1
+            if err_values > 0:
+                has_errors = True
+            rows.append(
+                {
+                    "partition_id": part_id,
+                    "rows": n,
+                    "min_ts": str(mn) if mn is not None else None,
+                    "max_ts": str(mx) if mx is not None else None,
+                    "batch_id": batch_id,
+                }
+            )
+        return rows, has_errors
+
+    def _write_lineage(self, rows: list[dict], batch_id: int) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out_dir = f"{self.base}/lineage/batch_id={batch_id}"
+        os.makedirs(out_dir, exist_ok=True)
+        schema = pa.schema(
+            [
+                ("partition_id", pa.int32()),
+                ("rows", pa.int64()),
+                ("min_ts", pa.string()),
+                ("max_ts", pa.string()),
+                ("batch_id", pa.int64()),
+            ]
+        )
+        table = pa.Table.from_pylist(rows, schema=schema)
+        pq.write_table(table, f"{out_dir}/lineage.parquet")
 
     # -- readers --------------------------------------------------------------
 

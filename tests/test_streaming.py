@@ -72,7 +72,8 @@ def test_exactly_once_extraction(spark, staged, tmp_path):
     assert lineage is not None
     lrows = lineage.collect()
     assert sum(r["rows"] for r in lrows) == n1
-    assert all(r["min_ts"] is not None for r in lrows)
+    # non-empty partitions carry event-time bounds (from parquet footers)
+    assert all(r["min_ts"] is not None for r in lrows if r["rows"] > 0)
 
 
 def test_incremental_resume_processes_new_files(spark, staged, tmp_path):
