@@ -86,15 +86,18 @@ def class_edges(units: DataFrame) -> DataFrame:
     classes = u.where(F.col("kind") == "class").select(
         "host", F.col("unit_path").alias("cls"), F.explode("bases").alias("base_name")
     )
-    defs = u.where(F.col("kind") == "class").select(
-        "host", F.col("unit_path").alias("base")
-    ).distinct()
+    defs = (
+        u.where(F.col("kind") == "class")
+        .select("host", F.col("unit_path").alias("base"))
+        .distinct()
+        .withColumnRenamed("host", "d_host")
+    )
     return (
         classes.join(
             defs,
-            (classes.host == defs.host) & (classes.base_name == defs.base),
+            (classes.host == defs.d_host) & (classes.base_name == defs.base),
         )
-        .select(classes.host, "cls", "base")
+        .select("host", "cls", "base")
     )
 
 

@@ -122,3 +122,17 @@ def run_to_memory(df: DataFrame, name: str, checkpoint_dir: str, output_mode: st
     )
     q.awaitTermination(timeout)
     return q
+
+
+def dedup_units_stream(pages: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """E7 streaming twin: first-seen-wins dedup of code units per
+    (host, unit_path, kind) within the watermark horizon —
+    dropDuplicatesWithinWatermark keeps state bounded by event time (the
+    streaming analogue of the batch shadowing dedup, which additionally
+    orders by path rank; in a stream, arrival order IS the precedence)."""
+    units = extract_code_units(pages)
+    return (
+        units.withWatermark("warc_ts", delay)
+        .withColumn("host", host_expr())
+        .dropDuplicatesWithinWatermark(["host", "unit_path", "kind"])
+    )

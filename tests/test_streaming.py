@@ -323,3 +323,31 @@ def test_dead_letter_routing(spark, tmp_path):
     assert edf.count() == 1 and "BadZipFile" in edf.first()["error"]
     # data dir still holds everything (single source of truth)
     assert sink.read_committed(spark).count() == 2
+
+
+def test_dedup_units_stream(spark, tmp_path):
+    """Streaming first-seen dedup: the same file crawled twice within the
+    watermark yields one unit row per (host, unit_path, kind)."""
+    from maxx_spark.streaming.pipeline import dedup_units_stream
+
+    t0 = dt.datetime(2024, 8, 1)
+    src = str(tmp_path / "ddup")
+    text = "function y = dupfn(x)\ny = x;\nend"
+    rows = [
+        ("https://dd/x/dupfn.m", t0, None, text, "matlab"),
+        ("https://dd/x/dupfn.m", t0 + dt.timedelta(seconds=30), None, text, "matlab"),
+        ("https://dd/x/other.m", t0 + dt.timedelta(seconds=10), None, "x=1;", "matlab"),
+    ]
+    spark.createDataFrame(rows, PAGES).coalesce(1).write.parquet(src)
+    out = dedup_units_stream(spark.readStream.schema(PAGES).parquet(src))
+    run_to_memory(out, "ddup_t", str(tmp_path / "ddup_ck"))
+    got = [(r["unit_path"], r["kind"]) for r in spark.sql("select * from ddup_t").collect()]
+    assert sorted(got) == [("dupfn", "function"), ("other", "script")]
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert "unit_path" in df.columns and "kind" in df.columns
