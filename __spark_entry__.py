@@ -117,19 +117,66 @@ ORDER BY 1, 2
 """
 
 
-def _knn_sql(where_bucket: bool) -> str:
+_DOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (p, q) -> p + q)"
+)
+
+
+def _bucket_terms_sql() -> str:
+    """Mirror similarity._bucket: bit b set iff dot(plane_b, embedding) > 0,
+    with the identical plane literals (fixed seed) on both engines."""
     from maxx_spark.operators.similarity import PLANES
 
-    dot = (
-        "list_reduce(list_transform(generate_series(1, 64), "
-        "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (p, q) -> p + q)"
+    return " + ".join(
+        f"(CASE WHEN {_DOT_SQL.format(a=f'{plane!r}'.replace('(', '[').replace(')', ']'), b='embedding')} > 0 THEN {1 << b} ELSE 0 END)"
+        for b, plane in enumerate(PLANES)
     )
-    if where_bucket:
-        bucket_terms = " + ".join(
-            f"(CASE WHEN {dot.format(a=f'{plane!r}'.replace('(', '[').replace(')', ']'), b='embedding')} > 0 THEN {1 << b} ELSE 0 END)"
-            for b, plane in enumerate(PLANES)
+
+
+def _cosine_lsh_sql(threshold: float = 0.4, bands: int = 2) -> str:
+    """Mirror similarity.cosine_near_dup_lsh: banded hyperplane sketch
+    (bands x 4-bit band values), candidates = collision in any band,
+    exact left-fold cosine verify — identical plane literals + fold order."""
+    from maxx_spark.operators.similarity import N_PLANES, PLANES
+
+    r = N_PLANES // bands
+    band_rows = []
+    for k in range(bands):
+        terms = " + ".join(
+            f"(CASE WHEN {_DOT_SQL.format(a=f'{PLANES[k * r + j]!r}'.replace('(', '[').replace(')', ']'), b='embedding')} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(r)
         )
-        bucket_cte = f", b AS (SELECT vec_id, ({bucket_terms})::BIGINT AS bucket FROM embeddings)"
+        band_rows.append(f"SELECT vec_id, {k} AS band_id, ({terms})::BIGINT AS band_val FROM embeddings")
+    banded = "\n  UNION ALL\n  ".join(band_rows)
+    return f"""
+WITH banded AS (
+  {banded}
+), cand AS (
+  SELECT DISTINCT p.vec_id AS vec_a, q.vec_id AS vec_b
+  FROM banded p JOIN banded q USING (band_id, band_val)
+  WHERE p.vec_id < q.vec_id
+), n AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> x::DOUBLE / sqrt(list_reduce(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE), (p, q) -> p + q))
+         ) AS ne
+  FROM embeddings
+)
+SELECT vec_a, vec_b
+FROM cand
+JOIN n a ON a.vec_id = vec_a
+JOIN n b ON b.vec_id = vec_b
+WHERE list_reduce(list_transform(generate_series(1, 64), i -> a.ne[i] * b.ne[i]), (p, q) -> p + q) >= {threshold}
+ORDER BY 1, 2
+"""
+
+
+def _knn_sql(where_bucket: bool) -> str:
+    dot = _DOT_SQL
+    if where_bucket:
+        bucket_cte = f", b AS (SELECT vec_id, ({_bucket_terms_sql()})::BIGINT AS bucket FROM embeddings)"
         join_bucket = "JOIN b bq ON bq.vec_id = q.vec_id JOIN b bc ON bc.vec_id = c.vec_id AND bc.bucket = bq.bucket"
     else:
         bucket_cte = ""
@@ -224,8 +271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_asof_join": lambda s, d: _q_asof(s, d),
         "q28_range_join_bands": lambda s, d: _q_bands(s, d),
         "q29_funnel_counts": lambda s, d: _q_funnel(s, d),
-        # embedding near-dup
+        # embedding near-dup: exact blocked-GEMM + high-threshold LSH path
         "q30_cosine_near_dup": lambda s, d: S.cosine_near_dup_pairs(_t(s, d, "embeddings")["embeddings"]),
+        "q36_cosine_near_dup_lsh": lambda s, d: S.cosine_near_dup_lsh(_t(s, d, "embeddings")["embeddings"]),
         # multimodal plumbing + search-path registry (golden oracles)
         "q31_media_decode": lambda s, d: _q_media_decode(s),
         "q32_frame_sample": lambda s, d: _q_frame_sample(s),
@@ -615,6 +663,7 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_reduce(list_transform(generate_series(1, 64), i -> a.ne[i] * b.ne[i]), (p, q) -> p + q) >= 0.5
 ORDER BY 1, 2
 """,
+        "q36_cosine_near_dup_lsh": _cosine_lsh_sql(),
         **_golden_oracles(),
     }
 

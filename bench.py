@@ -45,6 +45,7 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q29_funnel_counts",
         "q30_cosine_near_dup",
         "q31_media_decode",
+        "q36_cosine_near_dup_lsh",
     ]
     qs = e.queries()
     out: dict[str, float] = {}
