@@ -102,9 +102,22 @@ def class_edges(units: DataFrame) -> DataFrame:
 
 
 def ancestor_closure(edges: DataFrame, max_depth: int = 16) -> DataFrame:
-    """Transitive closure (host, cls, ancestor, depth) by frontier joins."""
-    closure = edges.select("host", "cls", F.col("base").alias("ancestor")).withColumn(
-        "depth", F.lit(1)
+    """Transitive closure (host, cls, ancestor, depth) by frontier joins.
+
+    Each iteration materializes the new frontier with an eager
+    localCheckpoint: the `isEmpty()` probe and every later consumer read
+    the stored blocks instead of replaying the join lineage, so iteration
+    K costs one frontier-sized join + anti-join — without this the K-th
+    frontier's lineage chains through all K-1 prior joins and the final
+    union replays the whole prefix per action (quadratic at real depth).
+    The closure itself is a union over checkpointed leaves, so it never
+    recomputes; edges are persisted for the loop and released at the end.
+    """
+    edges = edges.persist()
+    closure = (
+        edges.select("host", "cls", F.col("base").alias("ancestor"))
+        .withColumn("depth", F.lit(1))
+        .localCheckpoint(eager=True)
     )
     frontier = closure
     for _ in range(max_depth - 1):
@@ -126,11 +139,12 @@ def ancestor_closure(edges: DataFrame, max_depth: int = 16) -> DataFrame:
             closure, ["host", "cls", "ancestor"], "left_anti"
         )
         # cycle guard: a class reaching itself stops expanding
-        new = new.where(F.col("cls") != F.col("ancestor"))
+        new = new.where(F.col("cls") != F.col("ancestor")).localCheckpoint(eager=True)
         if new.isEmpty():
             break
         closure = closure.unionByName(new)
         frontier = new
+    edges.unpersist()
     return closure
 
 

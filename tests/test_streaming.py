@@ -351,3 +351,57 @@ def test_entry_contract(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert "unit_path" in df.columns and "kind" in df.columns
+
+
+def test_unresolved_flush_on_error_only_batches(spark, tmp_path):
+    """ADVICE r1 (medium): pending unresolved bases must flush even when all
+    later micro-batches carry only error-kind pages. Error rows become
+    salted clock ticks (never filtered below the watermark), so the event
+    clock advances and the keyed state times out."""
+    from maxx_spark.extract import extract_code_units
+
+    t0 = dt.datetime(2024, 6, 1, 9, 0, 0)
+    src = str(tmp_path / "errsrc")
+    bad = bytearray(b"PK\x03\x04corrupted-not-a-zip")
+    batches = [
+        [("https://h1/x/Orphan.m", t0, None, "classdef Orphan < MissingBase\nend", "matlab")],
+        [("https://h1/x/bad1.mlx", t0 + dt.timedelta(hours=1), bad, None, "matlab")],
+        [("https://h1/x/bad2.mlx", t0 + dt.timedelta(hours=2), bad, None, "matlab")],
+    ]
+    import time as _time
+
+    for off, rows in enumerate(batches):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        spark.createDataFrame(rows, PAGES).coalesce(1).write.mode("append").parquet(src)
+        now = _time.time()
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (now + off * 60, now + off * 60))
+
+    pages = spark.readStream.schema(PAGES).option("maxFilesPerTrigger", "1").parquet(src)
+    units = extract_code_units(pages)
+    # sanity: the corrupt .mlx really produces kind='error' rows
+    batch_units = extract_code_units(spark.read.schema(PAGES).parquet(src))
+    kinds = {r["kind"] for r in batch_units.collect()}
+    assert "error" in kinds
+
+    resolved = resolve_bases_stream(units)
+    run_to_memory(resolved, "err_flush_t", str(tmp_path / "ck_err"))
+    rows = spark.sql("select * from err_flush_t").collect()
+    got = {(r["identifier"], r["derived"], r["resolved"]) for r in rows}
+    assert ("MissingBase", "Orphan", False) in got
+
+
+def test_tick_keys_are_salted(spark):
+    """VERDICT r1: the unsalted (host, '') tick key funneled 50% of the
+    stream through one state task. Salted ticks must spread a mega-host's
+    tick rows so no single key receives more than 2/TICK_SALT of them."""
+    from maxx_spark.streaming.resolver import TICK_PREFIX, TICK_SALT, _tick_key
+
+    n = 2000
+    df = spark.range(n).select(
+        F.concat(F.lit("https://mega-mat.example.com/f"), F.col("id"), F.lit(".m")).alias("url")
+    )
+    counts = df.select(_tick_key().alias("k")).groupBy("k").count().collect()
+    assert all(r["k"].startswith(TICK_PREFIX) for r in counts)
+    assert len(counts) == TICK_SALT
+    assert max(r["count"] for r in counts) <= 2 * n / TICK_SALT
