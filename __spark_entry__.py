@@ -278,6 +278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_media_decode": lambda s, d: _q_media_decode(s),
         "q32_frame_sample": lambda s, d: _q_frame_sample(s),
         "q33_searchpath": lambda s, d: _q_searchpath(s),
+        # glob membership, scope-chain resolution, builtin doc links
+        # (P1 / P24 / P32; golden oracles)
+        "q34_glob_membership": lambda s, d: _q_glob(s),
+        "q35_scope_resolution": lambda s, d: _q_resolve_scope(s),
+        "q37_builtin_doc_links": lambda s, d: _q_builtin_links(s),
     }
 
 
@@ -346,6 +351,61 @@ def _gen_units(s: SparkSession):
     from maxx_spark.gen import generate_pages_df
 
     return extract_code_units(generate_pages_df(s, n_projects=2, n_filler=50))
+
+
+def _q_glob(s: SparkSession) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from maxx_spark.gen import generate_pages_df
+    from maxx_spark.operators.globber import glob_filter
+
+    pages = generate_pages_df(s, n_projects=2, n_filler=50)
+    inc = glob_filter(pages, "matlab/toolbox", recursive=True, parse_live_scripts=True)
+    return inc.select(
+        F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)/", 1).alias("host"),
+        "url",
+    ).orderBy("host", "url")
+
+
+# (scope_path, name) request set for q35 — includes a name shadowed at two
+# scopes (rescale_span), an own member, a root-folder hit, a builtin
+# fallback, and an unresolvable name.
+SCOPE_REQUESTS = [
+    ("metrics.inner.Gauge", "rescale_span"),
+    ("metrics.inner.Gauge", "bump"),
+    ("metrics.Gauge", "rescale_span"),
+    ("Tracker", "advance"),
+    ("Tracker", "accumulate"),
+    ("metrics.Gauge", "zeros"),
+    ("Tracker", "no_such_name"),
+]
+
+
+def _q_resolve_scope(s: SparkSession) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from maxx_spark.operators.codeunits import builtins_df, resolve_in_scope, with_host
+
+    units = _gen_units(s)
+    hosts = with_host(units).select("host").distinct()
+    reqs = s.createDataFrame(SCOPE_REQUESTS, "scope_path string, name string")
+    requests = hosts.crossJoin(F.broadcast(reqs))
+    return resolve_in_scope(units, requests, builtins_df(s)).select(
+        "host",
+        "scope_path",
+        "name",
+        "resolved_path",
+        F.col("resolved_level").cast("long").alias("resolved_level"),
+        "resolution",
+    ).orderBy("host", "scope_path", "name")
+
+
+def _q_builtin_links(s: SparkSession) -> DataFrame:
+    from maxx_spark.operators.builtins import builtins_dim, link_builtin_exprs
+
+    return link_builtin_exprs(_gen_units(s), builtins_dim(s)).orderBy(
+        "host", "unit_path", "site", "expr", "builtin_name"
+    )
 
 
 def _q_extract_units(s: SparkSession) -> DataFrame:
@@ -686,6 +746,9 @@ def _golden_oracles() -> dict[str, str]:
         ("q31_media_decode", "Q31_MEDIA_DECODE_SQL"),
         ("q32_frame_sample", "Q32_FRAME_SAMPLE_SQL"),
         ("q33_searchpath", "Q33_SEARCHPATH_SQL"),
+        ("q34_glob_membership", "Q34_GLOB_MEMBERSHIP_SQL"),
+        ("q35_scope_resolution", "Q35_SCOPE_RESOLUTION_SQL"),
+        ("q37_builtin_doc_links", "Q37_BUILTIN_DOC_LINKS_SQL"),
     ):
         if hasattr(golden, attr):
             out[name] = getattr(golden, attr)

@@ -74,6 +74,7 @@ def identifier_from_url(url: str) -> dict:
         "classfolder": classfolder,
         "identifier": ident,
         "is_private": "private" in dirs,
+        "is_internal": "+internal" in dirs,
     }
 
 
@@ -150,6 +151,8 @@ def flatten_unit(unit, url: str, warc_ts, text: str, info: dict) -> list[dict]:
                 if unit.lineno and text is not None
                 else text
             ),
+            "is_private": info["is_private"],
+            "is_internal": info["is_internal"],
             "error": None,
         }
     )
@@ -181,6 +184,8 @@ def flatten_unit(unit, url: str, warc_ts, text: str, info: dict) -> list[dict]:
                     if m.lineno and text is not None
                     else None
                 ),
+                "is_private": info["is_private"],
+                "is_internal": info["is_internal"],
                 "error": None,
             }
         )
@@ -206,12 +211,18 @@ def _decode_html(raw: bytes) -> str:
 
 
 def _error_row(url: str, warc_ts, msg: str) -> dict:
+    try:
+        info = identifier_from_url(url)
+        priv, internal = info["is_private"], info["is_internal"]
+    except Exception:  # noqa: BLE001 — privacy derivation must not mask the error
+        priv, internal = None, None
     return {
         "url": url, "warc_ts": warc_ts, "unit_path": None, "kind": "error",
         "name": None, "parent_path": None, "lineno": None, "endlineno": None,
         "docstring": None, "docstring_lineno": None, "docstring_endlineno": None,
         "bases": None, "attributes": None, "arguments": None, "returns": None,
-        "sections": None, "extracted_text": None, "error": msg[:1000],
+        "sections": None, "extracted_text": None,
+        "is_private": priv, "is_internal": internal, "error": msg[:1000],
     }
 
 
@@ -227,6 +238,24 @@ def extract_rows_for_page(url: str, warc_ts, html, text: str | None) -> list[dic
 
     info = identifier_from_url(url)
     try:
+        # README.md / readme.md → one folder-docstring row (P19; reference
+        # collection.py:284-295 reads it when a folder has no Contents.m)
+        if info["stem"].lower() == "readme" and info["ext"] == "md":
+            if text is None and html is not None:
+                text = _decode_html(bytes(html))
+            return [
+                {
+                    "url": url, "warc_ts": warc_ts, "unit_path": None,
+                    "kind": "readme", "name": info["stem"], "parent_path": None,
+                    "lineno": 1, "endlineno": (text or "").count("\n") + 1,
+                    "docstring": text, "docstring_lineno": 1,
+                    "docstring_endlineno": (text or "").count("\n") + 1,
+                    "bases": None, "attributes": None, "arguments": None,
+                    "returns": None, "sections": None, "extracted_text": text,
+                    "is_private": info["is_private"],
+                    "is_internal": info["is_internal"], "error": None,
+                }
+            ]
         if text is None and html is not None:
             if is_binary_mlx(bytes(html)):
                 sections = parse_mlx_bytes(bytes(html))
@@ -264,6 +293,10 @@ def matlab_pages(pages: DataFrame) -> DataFrame:
         (F.col("lang") == "matlab")
         | F.col("url").endswith(".m")
         | F.col("url").endswith(".mlx")
+        # README.md folder docstrings (P19) are admitted by filename — a
+        # crawler tags them with their natural language, not 'matlab'
+        | F.col("url").endswith("/README.md")
+        | F.col("url").endswith("/readme.md")
     )
 
 

@@ -386,6 +386,71 @@ CONTENTS_M = """\
 % Utilities for tracking and accumulation.
 """
 
+TOP_PRIVATE_FN = """\
+function secret = top_secret(k)
+% Top-level private helper — OUTSIDE glob membership (collection.py:50-75
+% skips non-prefixed dirs named 'private').
+secret = k * 2;
+end
+"""
+
+PLAIN_UNDER_NS_FN = """\
+function u = util(x)
+% Plain (non-prefixed) dir under +metrics — the reference globber never
+% descends plain dirs below a +namespace (descent into +/@ resets the
+% recursive flag), so this file is outside glob membership.
+u = x + 1;
+end
+"""
+
+DEEP_NS_FN = """\
+function t = tool(x)
+% Namespace under nested plain dirs: reachable only with recursive=true.
+t = x * 3;
+end
+"""
+
+INTERNAL_FN = """\
+function g = secret_gain(x)
+% Internal helper under +internal (is_internal per mixins.py:205).
+g = x * 1.5;
+end
+"""
+
+INNER_SHADOW_FN = """\
+function [scaled] = rescale_span(x)
+% Inner-namespace shadow of metrics.rescale_span — scope-chain resolution
+% must pick this one from inside +metrics/+inner and the outer one from
+% +metrics scope.
+scaled = x / max(abs(x));
+end
+"""
+
+README_MD = """\
+# Subdir helpers
+
+Shadowed lower-precedence utilities. This README becomes the folder
+docstring because the folder has no Contents.m (collection.py:284-295).
+"""
+
+
+def _chain_cls(k: int) -> str:
+    base = f" < Chain{k - 1}" if k > 1 else ""
+    return (
+        f"classdef Chain{k}{base}\n"
+        f"% Link {k} of the depth-6 inheritance chain\n"
+        "    methods\n"
+        f"        function obj = Chain{k}()\n"
+        f"            % Chain{k} constructor\n"
+        "        end\n"
+        f"        function out = rung{k}(obj)\n"
+        f"            % Method defined at depth {k}\n"
+        f"            out = {k};\n"
+        "        end\n"
+        "    end\n"
+        "end\n"
+    )
+
 # (relative path, text) — the project skeleton replicated per project host
 CORPUS: list[tuple[str, str]] = [
     ("accumulate.m", FN_WITH_ARGS),
@@ -409,7 +474,14 @@ CORPUS: list[tuple[str, str]] = [
     ("TurboTracker.m", GRANDCHILD_CLS),
     ("Contents.m", CONTENTS_M),
     ("subdir/accumulate.m", FN_WITH_ARGS),  # shadowing pair at lower precedence
-]
+    # glob-membership / privacy / scope-chain cases (P1, P19, P24, P30)
+    ("private/top_secret.m", TOP_PRIVATE_FN),  # top-level private: outside glob
+    ("+metrics/helpers/util.m", PLAIN_UNDER_NS_FN),  # plain dir under +pkg: outside glob
+    ("subdir/nested/+deep/tool.m", DEEP_NS_FN),  # needs recursive=true
+    ("+internal/secret_gain.m", INTERNAL_FN),  # is_internal
+    ("+metrics/+inner/rescale_span.m", INNER_SHADOW_FN),  # scope shadow pair
+    ("subdir/README.md", README_MD),  # folder-docstring fallback
+] + [(f"Chain{k}.m", _chain_cls(k)) for k in range(1, 7)]
 
 FILLER_WORDS = (
     "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu "
@@ -446,7 +518,10 @@ def generate_pages_rows(
                 ts -= dt.timedelta(seconds=rng.uniform(600, 1200))
             url = f"https://{host}/matlab/toolbox/{rel}"
             html = ("<pre>" + text + "</pre>").encode("utf-8")
-            rows.append((url, ts, html, text, "matlab"))
+            # README pages carry their natural language — the extraction
+            # filter must admit them by filename, not by lang
+            lang = "en" if rel.endswith(".md") else "matlab"
+            rows.append((url, ts, html, text, lang))
         t = base + dt.timedelta(seconds=len(CORPUS) * 2)
 
     # filler pages (must be filtered out cheaply before the UDF)

@@ -54,11 +54,17 @@ def shadowing_dedup(units: DataFrame) -> DataFrame:
 
 
 def folder_rollup(units: DataFrame) -> DataFrame:
-    """P19: per-(host, folder) member aggregation; the folder docstring
-    falls back to its Contents.m docstring."""
+    """P19: per-(host, folder) member aggregation. The folder docstring is
+    its Contents.m docstring, falling back to a README.md/readme.md page in
+    the same folder (reference collection.py:220-295: README is consulted
+    only when the docstring is still None). One pass + a folder-keyed
+    self-aggregate join; both sides are pre-aggregated so the join is tiny."""
     u = with_host(units)
     folder = F.regexp_replace(F.col("url"), r"/[^/]+$", "")
-    file_units = u.where(F.col("parent_path").isNull() | F.col("parent_path").startswith("+"))
+    file_units = u.where(
+        (F.col("parent_path").isNull() | F.col("parent_path").startswith("+"))
+        & ~F.col("kind").isin("readme", "error")
+    )
     agg = (
         file_units.withColumn("folder", folder)
         .groupBy("host", "folder")
@@ -70,7 +76,21 @@ def folder_rollup(units: DataFrame) -> DataFrame:
             ).alias("contents_docstring"),
         )
     )
-    return agg
+    readmes = (
+        u.where(F.col("kind") == "readme")
+        .withColumn("folder", folder)
+        .groupBy("host", "folder")
+        .agg(F.max("docstring").alias("readme_docstring"))
+    )
+    return agg.join(readmes, ["host", "folder"], "left").select(
+        "host",
+        "folder",
+        "member_paths",
+        "n_members",
+        F.coalesce(F.col("contents_docstring"), F.col("readme_docstring")).alias(
+            "folder_docstring"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -279,26 +299,102 @@ def inherited_members(units: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# scope-chain name resolution (P24)
+# ---------------------------------------------------------------------------
+
+ROOT_SCOPE = "<root>"
+
+
+def _scope_levels(scope_path):
+    """Ordered scope chain for a dotted unit path: the unit itself, each
+    enclosing namespace (longest first), then the host root folder —
+    mirroring Object.resolve's own-members → parent recursion
+    (reference objects.py:497-522)."""
+    parts = F.split(scope_path, r"\.")
+    prefixes = F.when(
+        F.size(parts) > 1,
+        F.transform(
+            F.reverse(F.sequence(F.lit(1), F.size(parts) - 1)),
+            lambda i: F.concat(F.lit("+"), F.array_join(F.slice(parts, F.lit(1), i), ".")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(F.array(scope_path), prefixes, F.array(F.lit(ROOT_SCOPE)))
+
+
+def resolve_in_scope(
+    units: DataFrame, requests: DataFrame, builtins: DataFrame
+) -> DataFrame:
+    """P24: resolve ``name`` within the scope of ``scope_path``.
+
+    ``requests`` rows: (host, scope_path, name). Resolution order: own
+    members of the scope unit → enclosing namespaces (innermost first) →
+    host root folder → MATLAB builtins → unresolved. Implemented as one
+    equi-join of the members table against the posexploded scope chain of
+    the (broadcast) request set, then a min-level pick — no iteration, no
+    driver loop; the members side shuffles once on (host, owner, name).
+    """
+    u = with_host(units)
+    members = (
+        u.where(~F.col("kind").isin("error", "readme") & F.col("name").isNotNull())
+        .groupBy(
+            "host",
+            F.coalesce(F.col("parent_path"), F.lit(ROOT_SCOPE)).alias("owner"),
+            F.col("name").alias("member_name"),
+        )
+        .agg(F.min("unit_path").alias("target_path"))
+    )
+    req = requests.select(
+        "host",
+        "scope_path",
+        "name",
+        F.posexplode(_scope_levels(F.col("scope_path"))).alias("lvl", "owner"),
+    )
+    hits = F.broadcast(req).join(
+        members,
+        (req.host == members.host)
+        & (req.owner == members.owner)
+        & (req.name == members.member_name),
+    ).select(req.host, "scope_path", "name", "lvl", "target_path")
+    w = Window.partitionBy("host", "scope_path", "name").orderBy("lvl")
+    best = (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("host", "scope_path", "name", "lvl", "target_path")
+    )
+    out = (
+        requests.join(best, ["host", "scope_path", "name"], "left")
+        .join(
+            F.broadcast(builtins),
+            F.col("name") == builtins.builtin_name,
+            "left",
+        )
+        .select(
+            "host",
+            "scope_path",
+            "name",
+            F.coalesce(F.col("target_path"), F.col("doc_url")).alias("resolved_path"),
+            F.when(F.col("target_path").isNotNull(), F.col("lvl"))
+            .otherwise(F.lit(None).cast("int"))
+            .alias("resolved_level"),
+            F.when(F.col("target_path").isNotNull(), F.lit("scope"))
+            .when(F.col("doc_url").isNotNull(), F.lit("builtin"))
+            .otherwise(F.lit("unresolved"))
+            .alias("resolution"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # builtins doc-link broadcast join (P32)
 # ---------------------------------------------------------------------------
 
-# A small engine-owned builtins dimension (name → MathWorks doc URL derived
-# from the public URL scheme). Deliberately NOT the reference's table.
-BUILTINS = [
-    "abs", "all", "any", "axis", "cell", "cellfun", "class", "cos", "cumsum",
-    "disp", "double", "error", "exp", "eye", "fieldnames", "figure", "find",
-    "fprintf", "gca", "handle", "int8", "int16", "int32", "int64", "isempty",
-    "isnumeric", "legend", "length", "linspace", "log", "max", "mean",
-    "median", "min", "mod", "numel", "num2str", "ones", "plot", "rand",
-    "randn", "repmat", "reshape", "round", "sin", "size", "sort", "sprintf",
-    "sqrt", "std", "strcmp", "string", "struct", "sum", "switch", "table",
-    "title", "upper", "validateattributes", "xlabel", "ylabel", "zeros",
-]
-
-
 def builtins_df(spark) -> DataFrame:
-    rows = [(n, f"https://www.mathworks.com/help/matlab/ref/{n}.html") for n in BUILTINS]
-    return spark.createDataFrame(rows, "builtin_name string, doc_url string")
+    """The engine-owned builtins dimension (see operators/builtins.py for
+    the generated list + generalized expression linking)."""
+    from maxx_spark.operators.builtins import builtins_dim
+
+    return builtins_dim(spark)
 
 
 def link_builtin_bases(units: DataFrame, builtins: DataFrame) -> DataFrame:

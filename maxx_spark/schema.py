@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     IntegerType,
     MapType,
     StringType,
@@ -73,6 +74,10 @@ CODE_UNITS = StructType(
         StructField("sections", ArrayType(SECTION), True),
         # byte-identity column: dedented source slice lines[lineno-1:endlineno]
         StructField("extracted_text", StringType(), True),
+        # privacy predicates as first-class columns (P30; reference
+        # mixins.py:200-207: any path part == 'private' / '+internal')
+        StructField("is_private", BooleanType(), True),
+        StructField("is_internal", BooleanType(), True),
         StructField("error", StringType(), True),
     ]
 )

@@ -102,7 +102,15 @@ def test_folder_rollup(units):
     assert toolbox is not None
     assert toolbox["n_members"] >= 10
     # Contents.m docstring becomes the folder docstring
-    assert "Toolbox overview" in toolbox["contents_docstring"]
+    assert "Toolbox overview" in toolbox["folder_docstring"]
+    # a folder without Contents.m falls back to its README.md (P19)
+    subdir = f.where(
+        F.col("folder").endswith("/toolbox/subdir") & F.col("host").startswith("mega")
+    ).first()
+    assert subdir is not None
+    assert "Subdir helpers" in subdir["folder_docstring"]
+    # README rows are docstring carriers, not members
+    assert not any("README" in p for p in subdir["member_paths"])
 
 
 def test_builtin_link(spark, units):
@@ -142,3 +150,62 @@ def test_ancestor_closure_deep_chain(spark):
     )
     cc = {(r["cls"], r["ancestor"]) for r in ancestor_closure(cyc).collect()}
     assert cc == {("A", "B"), ("B", "A")}
+
+
+def test_resolve_in_scope(spark, units):
+    """P24: own members → namespace chain → root folder → builtins."""
+    from maxx_spark.operators.codeunits import resolve_in_scope
+
+    reqs = spark.createDataFrame(
+        [
+            ("mega-mat.example.com", "metrics.inner.Gauge", "rescale_span"),
+            ("mega-mat.example.com", "metrics.Gauge", "rescale_span"),
+            ("mega-mat.example.com", "Tracker", "advance"),
+            ("mega-mat.example.com", "Tracker", "accumulate"),
+            ("mega-mat.example.com", "Tracker", "sqrt"),
+            ("mega-mat.example.com", "Tracker", "definitely_missing"),
+        ],
+        "host string, scope_path string, name string",
+    )
+    out = {
+        (r["scope_path"], r["name"]): (r["resolved_path"], r["resolved_level"], r["resolution"])
+        for r in resolve_in_scope(units, reqs, builtins_df(spark)).collect()
+    }
+    # the SAME name resolves differently at two scopes (shadowing)
+    assert out[("metrics.inner.Gauge", "rescale_span")] == ("metrics.inner.rescale_span", 1, "scope")
+    assert out[("metrics.Gauge", "rescale_span")] == ("metrics.rescale_span", 1, "scope")
+    assert out[("Tracker", "advance")] == ("Tracker.advance", 0, "scope")
+    assert out[("Tracker", "accumulate")] == ("accumulate", 1, "scope")
+    path, lvl, res = out[("Tracker", "sqrt")]
+    assert res == "builtin" and path.endswith("/sqrt.html") and lvl is None
+    assert out[("Tracker", "definitely_missing")] == (None, None, "unresolved")
+
+
+def test_builtin_expr_links(spark, units):
+    """P32 generalized: bases, property defaults, and argument defaults all
+    get doc links; the FIRST builtin identifier in the expression wins."""
+    from maxx_spark.operators.builtins import builtins_dim, link_builtin_exprs
+
+    out = link_builtin_exprs(units, builtins_dim(spark))
+    rows = [r for r in out.collect() if r["host"].startswith("mega")]
+    by_site = {}
+    for r in rows:
+        by_site.setdefault(r["site"], []).append(r)
+    bases = {(r["unit_path"], r["builtin_name"]) for r in by_site["base"]}
+    assert ("Tracker", "handle") in bases
+    assert ("Level", "int8") in bases
+    args = {(r["unit_path"], r["expr"], r["builtin_name"]) for r in by_site["argument_default"]}
+    assert ("Tracker.reset", "false", "false") in args
+    # quoted strings are stripped: "linear" must NOT produce a hit
+    assert not any("linear" in r["expr"] for r in rows)
+
+
+def test_privacy_columns(units):
+    """P30: is_private / is_internal are real CODE_UNITS columns."""
+    # every row of a page carries the same page-level privacy flags
+    m = {r["url"].split("toolbox/")[1]: (r["is_private"], r["is_internal"])
+         for r in units.where(F.col("url").contains("mega")).collect()}
+    assert m["private/top_secret.m"] == (True, False)
+    assert m["@Ledger/private/rebalance.m"] == (True, False)
+    assert m["+internal/secret_gain.m"] == (False, True)
+    assert m["Tracker.m"] == (False, False)
