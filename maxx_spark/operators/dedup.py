@@ -7,7 +7,9 @@
   with exact Jaccard — the scale path (the shingle self-join above is
   quadratic in shingle-frequency; LSH bounds the join to band-bucket
   collisions).
-- simhash64: 64-bit SimHash fingerprint per document.
+- simhash32: 32-bit SimHash fingerprint per document (32 bits keeps every
+  per-bit conditional sum in one BIGINT expression tree; the (h >> i) & 1
+  construction generalizes to 64 if ever needed).
 
 All hashing is deterministic and engine-agnostic: integer hashes are the
 first 14 hex digits of md5 (56 bits), computed with built-in functions only

@@ -28,19 +28,7 @@ _PREFIXED = r"[+@][^/]*/"
 _PLAIN = r"(?!private/)[^+@/][^/]*/"
 
 
-def glob_member(
-    url: Column,
-    root_path: str,
-    recursive: bool = False,
-    parse_live_scripts: bool = False,
-) -> Column:
-    """Boolean column: is this url a glob member of ``root_path``?
-
-    ``root_path`` is the path prefix below the host (e.g.
-    ``matlab/toolbox``); membership is evaluated host-locally, so one call
-    covers every host in the frame.
-    """
-    rel = F.regexp_extract(url, rf"^[a-z]+://[^/]+/{root_path}/(.+)$", 1)
+def _rel_membership(rel: Column, recursive: bool, parse_live_scripts: bool) -> Column:
     fname = F.regexp_extract(rel, r"([^/]*)$", 1)
     dirpath = F.regexp_extract(rel, r"^(.*/)?[^/]*$", 1)
 
@@ -54,6 +42,36 @@ def glob_member(
         file_ok = file_ok | fname.endswith(".mlx")
 
     return (rel != "") & dirs_ok & file_ok
+
+
+def glob_member(
+    url: Column,
+    root_path: str,
+    recursive: bool = False,
+    parse_live_scripts: bool = False,
+) -> Column:
+    """Boolean column: is this url a glob member of ``root_path``?
+
+    ``root_path`` is the path prefix below the host (e.g.
+    ``matlab/toolbox``); membership is evaluated host-locally, so one call
+    covers every host in the frame.
+    """
+    rel = F.regexp_extract(url, rf"^[a-z]+://[^/]+/{root_path}/(.+)$", 1)
+    return _rel_membership(rel, recursive, parse_live_scripts)
+
+
+def glob_member_under(
+    url: Column,
+    root_url: str,
+    recursive: bool = False,
+    parse_live_scripts: bool = False,
+) -> Column:
+    """Like glob_member, but anchored to one FULL url prefix (a registered
+    search-path root like ``https://host/matlab/toolbox``)."""
+    import re
+
+    rel = F.regexp_extract(url, "^" + re.escape(root_url.rstrip("/")) + "/(.+)$", 1)
+    return _rel_membership(rel, recursive, parse_live_scripts)
 
 
 def glob_filter(

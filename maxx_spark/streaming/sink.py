@@ -79,12 +79,15 @@ class ExactlyOnceParquetSink:
         self._write_lineage(lineage_rows, batch_id)
 
         # dead-letter routing (P34): only scan for error rows when the
-        # footers show any non-null `error` values
+        # footers show any non-null `error` values — and route on the SAME
+        # predicate that triggered detection (error IS NOT NULL), so a
+        # producer emitting error without kind='error' cannot silently lose
+        # rows from the DLQ (the sink is schema-generic).
         if has_errors:
             spark = df.sparkSession
             written = spark.read.parquet(data_dir)
             (
-                written.where(F.col("kind") == "error")
+                written.where(F.col("error").isNotNull())
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(f"{self.base}/errors/batch_id={batch_id}")
@@ -103,11 +106,19 @@ class ExactlyOnceParquetSink:
         has_errors = False
         for path in sorted(glob.glob(f"{data_dir}/part-*.parquet")):
             md = pq.ParquetFile(path).metadata
-            part_id = int(os.path.basename(path).split("-")[1])
             n = md.num_rows
             mn = mx = None
             err_values = 0
+            part_id = None
             schema_names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            # producing partition id from the __pid column stats (constant
+            # per file: one task writes one file); filename index fallback
+            if "__pid" in schema_names and md.num_row_groups > 0:
+                st = md.row_group(0).column(schema_names["__pid"]).statistics
+                if st and st.has_min_max:
+                    part_id = int(st.min)
+            if part_id is None:
+                part_id = int(os.path.basename(path).split("-")[1])
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
                 if self.ts_col in schema_names:

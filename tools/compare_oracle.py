@@ -93,9 +93,22 @@ def main() -> int:
                     bad = (a[c] != b[c])
                     print(f"  {name}.{c}: {int(bad.sum())} mismatches, e.g. {a[c][bad].head(3).tolist()} vs {b[c][bad].head(3).tolist()}")
         dt_a, dt_b = dict(sdf.dtypes.astype(str)), dict(odf.dtypes.astype(str))
+        # Declared dtype equivalences: pandas materializes Spark timestamps
+        # as ns and DuckDB's as us — same instants, different unit. Anything
+        # else that differs is a genuine schema mismatch and FAILS here
+        # (CLAUDE.md invariant: dtypes must match the oracle exactly).
+        _ts = ("datetime64[ns]", "datetime64[us]")
+        real_diff = {
+            k: (dt_a[k], dt_b.get(k))
+            for k in dt_a
+            if dt_a[k] != dt_b.get(k)
+            and not (dt_a[k] in _ts and dt_b.get(k) in _ts)
+        }
+        if real_diff:
+            eq = False
+            print(f"  {name}: dtype mismatch {real_diff}")
         if eq:
-            note = "" if dt_a == dt_b else f"  [dtype diff: { {k: (dt_a[k], dt_b[k]) for k in dt_a if dt_a[k] != dt_b[k]} }]"
-            print(f"PASS {name}: {len(a)} rows{note}")
+            print(f"PASS {name}: {len(a)} rows")
         else:
             print(f"FAIL {name}: value mismatch")
             failed.append(name)
