@@ -96,40 +96,33 @@ def parse_mlx_bytes(data: bytes) -> list[tuple[str, str]]:
     except ET.ParseError:
         return []
 
+    # Legacy documents carry unqualified tags: qualify every tag in one
+    # iterative stack sweep, then look the body up uniformly.
+    if root.find(f"{_W}body") is None and root.find("body") is not None:
+        stack = [root]
+        while stack:
+            el = stack.pop()
+            if el.tag and not el.tag.startswith("{"):
+                el.tag = _W + el.tag
+            stack.extend(el)
     body = root.find(f"{_W}body")
-    if body is None:
-        legacy = root.find("body")
-        if legacy is not None:
-            def fix(el):
-                if el.tag and not el.tag.startswith("{"):
-                    el.tag = f"{_W}{el.tag}"
-                for ch in el:
-                    fix(ch)
-
-            fix(root)
-            body = root.find(f"{_W}body")
     if body is None:
         return []
 
-    sections: list[tuple[str, str]] = []
-    cur_kind: str | None = None
-    cur_lines: list[str] = []
+    paras = [(_para_kind(p), _para_text(p)) for p in body.iter(f"{_W}p")]
+    return _merge_para_runs(paras)
 
-    def flush() -> None:
-        if cur_kind is not None and cur_lines:
-            sections.append((cur_kind, "\n".join(cur_lines)))
 
-    for para in body.iter(f"{_W}p"):
-        kind = _para_kind(para)
-        text = _para_text(para)
-        if kind != cur_kind:
-            flush()
-            cur_kind = kind
-            cur_lines = [text] if text else []
-        elif text:
-            cur_lines.append(text)
-    flush()
-    return [(k, c) for k, c in sections if c.strip()]
+def _merge_para_runs(paras: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Consecutive same-kind paragraphs form one section (non-empty texts
+    newline-joined); whitespace-only sections drop."""
+    from itertools import groupby
+
+    merged = (
+        (kind, "\n".join(t for _, t in grp if t))
+        for kind, grp in groupby(paras, key=lambda kt: kt[0])
+    )
+    return [(k, c) for k, c in merged if c.strip()]
 
 
 def _para_kind(para) -> str:
