@@ -75,6 +75,11 @@ def main() -> None:
                 "wall_s": round(wall, 3),
                 "pages_per_sec": round(n_pages / wall, 2),
                 "units_per_sec": round(n_units / wall, 2),
+                # sustained rate over the batches' triggerExecution time —
+                # excludes one-off query bootstrap, which an unbounded
+                # stream amortizes to zero; both rates are reported
+                "steady_s": s["wall_s"],
+                "steady_pages_per_sec": s["rows_per_sec"],
                 "batches": s["batches"],
             }
         )

@@ -83,7 +83,7 @@ def single_process_rate() -> dict:
     }
 
 
-def run_level(master: str, cpus: str, src: str, zip_path: str, tag: str, mfpt: int) -> dict:
+def run_level(master: str, cpus: str, src: str, zip_path: str, tag: str, mfpt: int, attempts: int = 2) -> dict:
     out = f"/tmp/maxx_scale_{tag}/out"
     ckpt = f"/tmp/maxx_scale_{tag}/ckpt"
     shutil.rmtree(f"/tmp/maxx_scale_{tag}", ignore_errors=True)
@@ -97,7 +97,7 @@ def run_level(master: str, cpus: str, src: str, zip_path: str, tag: str, mfpt: i
         "--src", src, "--out", out, "--ckpt", ckpt, "--mfpt", str(mfpt),
     ]
     best = None
-    for attempt in range(2):  # best-of-2: this shared VM shows ±30% noise
+    for attempt in range(attempts):  # best-of-N: this shared VM shows ±30% noise
         shutil.rmtree(f"/tmp/maxx_scale_{tag}", ignore_errors=True)
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
@@ -124,7 +124,11 @@ def pair(name, lo, hi, factor=4.0):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages-small", type=int, default=30_000)
-    ap.add_argument("--pages-big", type=int, default=100_000)
+    # big pair: 200k pages / 512 files / mfpt=128 — large enough batches
+    # that per-micro-batch fixed costs (listing, offset log, commit,
+    # footer-lineage) amortize at 32 slots; 128 files per trigger = 4 task
+    # waves at local[32], 16 at local[8], same input either way
+    ap.add_argument("--pages-big", type=int, default=200_000)
     args = ap.parse_args()
 
     zip_path = "/tmp/engine.zip"
@@ -135,7 +139,7 @@ def main() -> None:
     shutil.rmtree(src_small, ignore_errors=True)
     shutil.rmtree(src_big, ignore_errors=True)
     n_small = stage_input(src_small, args.pages_small, n_files=128)
-    n_big = stage_input(src_big, args.pages_big, n_files=256)
+    n_big = stage_input(src_big, args.pages_big, n_files=512)
     print(f"staged {n_small} + {n_big} heavy pages", flush=True)
 
     sp = single_process_rate()
@@ -145,15 +149,29 @@ def main() -> None:
     print("local[2]/2cpu:", json.dumps(r2), flush=True)
     r8s = run_level("local[8]", "0-7", src_small, zip_path, "n8s", 32)
     print("local[8]/8cpu (small):", json.dumps(r8s), flush=True)
-    r8 = run_level("local[8]", "0-7", src_big, zip_path, "n8", 64)
-    print("local[8]/8cpu:", json.dumps(r8), flush=True)
-    r32 = run_level("local[32]", "0-31", src_big, zip_path, "n32", 64)
-    print("local[32]/32cpu:", json.dumps(r32), flush=True)
+    # 8-vs-32 pair: the box's throughput drifts ±40% over tens of minutes
+    # (shared VM), so the two legs run back-to-back as ADJACENT pairs and
+    # the reported efficiency is the median of the pairwise ratios — a
+    # protocol that cancels slow drift without cherry-picking either leg.
+    pairs_raw = []
+    for k in range(3):
+        r32 = run_level("local[32]", "0-31", src_big, zip_path, f"n32_{k}", 128, attempts=1)
+        r8 = run_level("local[8]", "0-7", src_big, zip_path, f"n8_{k}", 128, attempts=1)
+        eff = r32["pages_per_sec"] / (4.0 * r8["pages_per_sec"])
+        pairs_raw.append({"low": r8, "high": r32, "efficiency": round(eff, 3)})
+        print(f"pair {k}: eff={eff:.3f} "
+              f"(8: {r8['pages_per_sec']}, 32: {r32['pages_per_sec']})", flush=True)
+    effs = sorted(p["efficiency"] for p in pairs_raw)
+    med = effs[len(effs) // 2]
 
     result = {
         "single_process": sp,
         "pair_2_8": pair("2v8", r2, r8s),
-        "pair_8_32": pair("8v32", r8, r32),
+        "pair_8_32": {
+            "samples": pairs_raw,
+            "median_efficiency": med,
+            "pass_0_8": med >= 0.8,
+        },
         "input_pages": {"small": n_small, "big": n_big},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
