@@ -59,3 +59,54 @@ def test_filter_before_extraction_udf(spark):
     assert "MapInPandas" in p
     i_map = p.index("MapInPandas")
     assert "Filter" in p[i_map:], "lang filter must execute before the UDF"
+
+
+def test_glob_filter_is_jvm_only(spark):
+    """P1 membership must stay a JVM predicate: no Python stage, no shuffle,
+    no join — one filter over the scan."""
+    from maxx_spark.gen import generate_pages_df
+    from maxx_spark.operators.globber import glob_filter
+    from maxx_spark.plans import executed_plan, plan_summary
+
+    pages = generate_pages_df(spark, n_projects=1, n_filler=10)
+    df = glob_filter(pages, "matlab/toolbox", recursive=True)
+    p = executed_plan(df)
+    s = plan_summary(df)
+    assert s["python_stages"] == 0
+    assert s["shuffles"] == 0
+    assert "Join" not in p
+
+
+def test_resolve_in_scope_broadcasts_requests_and_builtins(spark):
+    """P24: the exploded request side and the builtins dim must broadcast —
+    the big members table shuffles at most once."""
+    from maxx_spark.extract import extract_code_units
+    from maxx_spark.gen import generate_pages_df
+    from maxx_spark.operators.codeunits import builtins_df, resolve_in_scope
+    from maxx_spark.plans import plan_summary
+
+    units = extract_code_units(generate_pages_df(spark, n_projects=1, n_filler=0))
+    reqs = spark.createDataFrame(
+        [("mega-mat.example.com", "Tracker", "advance")],
+        "host string, scope_path string, name string",
+    )
+    df = resolve_in_scope(units, reqs, builtins_df(spark))
+    df.collect()  # finalize AQE
+    s = plan_summary(df)
+    assert s["broadcast_joins"] >= 2
+
+
+def test_builtin_expr_links_broadcast(spark):
+    """P32: the builtins dim join must be a broadcast, never a shuffle of
+    the exploded identifier tokens against a shuffled dim."""
+    from maxx_spark.extract import extract_code_units
+    from maxx_spark.gen import generate_pages_df
+    from maxx_spark.operators.builtins import builtins_dim, link_builtin_exprs
+    from maxx_spark.plans import plan_summary
+
+    units = extract_code_units(generate_pages_df(spark, n_projects=1, n_filler=0))
+    df = link_builtin_exprs(units, builtins_dim(spark))
+    df.collect()
+    s = plan_summary(df)
+    assert s["broadcast_joins"] >= 1
+    assert s["sort_merge_joins"] == 0
