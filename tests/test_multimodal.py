@@ -77,3 +77,16 @@ def test_media_fingerprint_jvm_side(spark):
     from maxx_spark.plans import executed_plan
 
     assert "Python" not in executed_plan(fp).replace("PythonRDD", "")
+
+
+def test_decode_moves_no_payload_bytes(spark):
+    """VERDICT r1: the decode stage must not shuffle payload blobs by
+    default — the plan has no Exchange below the Python stage."""
+    from maxx_spark.operators.multimodal import decode_media, generate_media_df
+    from maxx_spark.plans import executed_plan
+
+    p = executed_plan(decode_media(generate_media_df(spark, 30)))
+    assert "Exchange" not in p
+    # and the explicit rebalance knob still exists for skewed sources
+    p2 = executed_plan(decode_media(generate_media_df(spark, 30), repartition_to=8))
+    assert "Exchange" in p2
