@@ -161,6 +161,23 @@ def flatten_unit(unit, url: str, warc_ts, text: str, info: dict) -> list[dict]:
         attrs = dict(m.attributes)
         if m.kind == "enumeration" and m.value is not None:
             attrs["value"] = m.value
+        # member-level privacy (reference objects.py:967-972, 1113-1117):
+        # functions are private when path-private OR Access not in
+        # {public, immutable}; properties when Access or GetAccess != public
+        acc = attrs.get("Access")
+        gacc = attrs.get("GetAccess")
+        if m.kind == "function":
+            m_private = info["is_private"] or (
+                acc is not None and acc not in ("public", "immutable")
+            )
+        elif m.kind == "property":
+            m_private = (
+                info["is_private"]
+                or (acc is not None and acc != "public")
+                or (gacc is not None and gacc != "public")
+            )
+        else:
+            m_private = info["is_private"]
         rows.append(
             {
                 "url": url,
@@ -184,7 +201,7 @@ def flatten_unit(unit, url: str, warc_ts, text: str, info: dict) -> list[dict]:
                     if m.lineno and text is not None
                     else None
                 ),
-                "is_private": info["is_private"],
+                "is_private": m_private,
                 "is_internal": info["is_internal"],
                 "error": None,
             }

@@ -201,11 +201,21 @@ def test_builtin_expr_links(spark, units):
 
 
 def test_privacy_columns(units):
-    """P30: is_private / is_internal are real CODE_UNITS columns."""
-    # every row of a page carries the same page-level privacy flags
-    m = {r["url"].split("toolbox/")[1]: (r["is_private"], r["is_internal"])
-         for r in units.where(F.col("url").contains("mega")).collect()}
-    assert m["private/top_secret.m"] == (True, False)
-    assert m["@Ledger/private/rebalance.m"] == (True, False)
-    assert m["+internal/secret_gain.m"] == (False, True)
-    assert m["Tracker.m"] == (False, False)
+    """P30: is_private / is_internal are real CODE_UNITS columns — page
+    level from the url (private dir / +internal), member level also from
+    Access attributes (reference objects.py:967-972, 1113-1117)."""
+    rows = units.where(F.col("url").contains("mega")).collect()
+    pages = {r["url"].split("toolbox/")[1]: (r["is_private"], r["is_internal"])
+             for r in rows
+             if r["parent_path"] is None or (r["parent_path"] or "").startswith("+")}
+    assert pages["private/top_secret.m"] == (True, False)
+    assert pages["+internal/secret_gain.m"] == (False, True)
+    assert pages["Tracker.m"] == (False, False)
+    members = {r["unit_path"]: r["is_private"] for r in rows
+               if r["parent_path"] and not r["parent_path"].startswith("+")}
+    assert members["Ledger.rebalance"] is True          # @Ledger/private/
+    assert members["Tracker.reset"] is True             # methods (Access=private)
+    assert members["Tracker.advance"] is False          # public method
+    assert members["Meter.RawValue"] is True            # properties (Access=private)
+    assert members["Shape.Tag"] is False                # SetAccess=private only: readable
+    assert members["Tracker.Current"] is False          # public property
