@@ -173,6 +173,46 @@ ORDER BY 1, 2
 """
 
 
+def _ivf_sql(n_queries: int = 10, k: int = 5, nprobe: int = 2) -> str:
+    """Mirror similarity.ivf_knn: per-label rounded centroids, probe the
+    nprobe nearest centroids by exact cosine, exact search within probed
+    lists — identical fold order and rounding on both engines."""
+    dot = _DOT_SQL
+    return f"""
+WITH pos AS (
+  SELECT label, unnest(generate_series(1, 64)) AS pos, embedding FROM embeddings
+), comp AS (
+  SELECT label, pos, round(sum(embedding[pos]::DOUBLE) / count(*), 4) AS m
+  FROM pos GROUP BY label, pos
+), cent AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM comp GROUP BY label
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {n_queries}
+), qc AS (
+  SELECT query_id, qe, label,
+         {dot.format(a='qe', b='centroid')}
+         / (sqrt({dot.format(a='qe', b='qe')}) * sqrt({dot.format(a='centroid', b='centroid')})) AS ccos
+  FROM q CROSS JOIN cent
+), probes AS (
+  SELECT query_id, qe, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, label) AS pr FROM qc
+  ) WHERE pr <= {nprobe}
+)
+SELECT query_id, neighbor_id, rnk::INTEGER AS rnk FROM (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY ({dot.format(a='p.qe', b='c.embedding')}
+                     / (sqrt({dot.format(a='p.qe', b='p.qe')}) * sqrt({dot.format(a='c.embedding', b='c.embedding')}))) DESC,
+                    c.vec_id
+         ) AS rnk
+  FROM probes p JOIN embeddings c ON c.label = p.label AND c.vec_id != p.query_id
+)
+WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""
+
+
 def _knn_sql(where_bucket: bool) -> str:
     dot = _DOT_SQL
     if where_bucket:
@@ -256,10 +296,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_token_counts": lambda s, d: T.token_counts(_t(s, d, "documents")["documents"]),
         "q18_fingerprint": lambda s, d: T.fingerprint(_t(s, d, "documents")["documents"]),
         "q19_rolling_fingerprint": lambda s, d: T.rolling_fingerprint(_t(s, d, "documents")["documents"]),
+        "q39_repetition_rules": lambda s, d: T.repetition_rules(_t(s, d, "documents")["documents"]),
         # similarity search
         "q20_knn_bruteforce": lambda s, d: S.knn_cosine_bruteforce(_t(s, d, "embeddings")["embeddings"]),
         "q21_knn_lsh": lambda s, d: S.knn_cosine_lsh(_t(s, d, "embeddings")["embeddings"]),
         "q22_label_centroids": lambda s, d: S.label_centroids(_t(s, d, "embeddings")["embeddings"]),
+        "q38_ivf_knn": lambda s, d: S.ivf_knn(_t(s, d, "embeddings")["embeddings"]),
         # MATLAB extraction payload + inheritance layer over the deterministic
         # generated pages corpus (sf-independent); oracles are golden VALUES
         # tables regenerated by tools/regen_golden.py
@@ -658,6 +700,38 @@ FROM ranked WHERE rn <= 4 ORDER BY doc_id, sig_rank
 """,
         "q20_knn_bruteforce": _knn_sql(False).replace("AS rnk", "AS rnk", 1).replace("SELECT query_id, neighbor_id, rnk FROM (", "SELECT query_id, neighbor_id, rnk::INTEGER AS rnk FROM ("),
         "q21_knn_lsh": _knn_sql(True).replace("SELECT query_id, neighbor_id, rnk FROM (", "SELECT query_id, neighbor_id, rnk::INTEGER AS rnk FROM ("),
+        "q38_ivf_knn": _ivf_sql(),
+        "q39_repetition_rules": f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines,
+         string_split({NORM}, ' ') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_dlines,
+         greatest(len(w) - 2, 0) AS n_g,
+         CASE WHEN len(w) >= 3 THEN len(list_distinct(list_transform(
+             generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+           ELSE 0 END AS n_dg,
+         length(regexp_replace(text, '[^#@{{}}\\[\\]<>]', '', 'g')) AS n_sym,
+         greatest(length(text), 1) AS n_char,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bul
+  FROM base
+)
+SELECT doc_id,
+       round(CASE WHEN n_lines > 0 THEN (n_lines - n_dlines)::DOUBLE / n_lines ELSE 0.0 END, 6) AS dup_line_frac,
+       round(CASE WHEN n_g > 0 THEN (n_g - n_dg)::DOUBLE / n_g ELSE 0.0 END, 6) AS dup_3gram_frac,
+       round(n_sym::DOUBLE / n_char, 6) AS symbol_ratio,
+       round(CASE WHEN n_lines > 0 THEN n_bul::DOUBLE / n_lines ELSE 0.0 END, 6) AS bullet_frac,
+       ((CASE WHEN n_lines > 0 THEN (n_lines - n_dlines)::DOUBLE / n_lines ELSE 0.0 END) <= 0.30
+        AND (CASE WHEN n_g > 0 THEN (n_g - n_dg)::DOUBLE / n_g ELSE 0.0 END) <= 0.50
+        AND (n_sym::DOUBLE / n_char) <= 0.10
+        AND (CASE WHEN n_lines > 0 THEN n_bul::DOUBLE / n_lines ELSE 0.0 END) <= 0.90) AS keep
+FROM m
+ORDER BY doc_id
+""",
         "q22_label_centroids": """
 WITH ex AS (
   SELECT label, (i - 1)::INTEGER AS pos, embedding[i]::DOUBLE AS v

@@ -46,6 +46,8 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q30_cosine_near_dup",
         "q31_media_decode",
         "q36_cosine_near_dup_lsh",
+        "q38_ivf_knn",
+        "q39_repetition_rules",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

@@ -126,6 +126,62 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     ).orderBy("label", "pos")
 
 
+def centroid_vectors(embeddings: DataFrame) -> DataFrame:
+    """(label, centroid array<double>) — per-label mean vector, each
+    component rounded to 4 decimals so both engines agree bit-exactly
+    (see label_centroids' drift note). One shuffle on (label, pos), then a
+    per-label array rebuild ordered by position."""
+    ex = embeddings.select("label", F.posexplode("embedding").alias("pos", "v"))
+    comp = ex.groupBy("label", "pos").agg(
+        F.round(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 4).alias("m")
+    )
+    return comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def ivf_knn(embeddings: DataFrame, n_queries: int = 10, k: int = 5, nprobe: int = 2) -> DataFrame:
+    """IVF approximate kNN (the coarse-quantizer scale path next to the
+    LSH one): inverted lists are the label clusters, the quantizer is the
+    per-label centroid (rounded — engine-exact), a query probes its
+    ``nprobe`` nearest centroids by exact cosine and then searches ONLY
+    those lists exactly. At scale the centroid table is tiny (broadcast
+    twice) and the candidate join is an equi-join on label — each query
+    touches |nprobe|/|labels| of the corpus instead of all of it, the
+    classic FAISS IVF-Flat plan. Emits integer (query_id, neighbor_id,
+    rnk) only."""
+    cents = centroid_vectors(embeddings)
+    q = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qcos = _dot(F.col("qe"), F.col("centroid")) / (_norm(F.col("qe")) * _norm(F.col("centroid")))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("label"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qe", "label", qcos.alias("ccos"))
+        .withColumn("__pr", F.row_number().over(w_probe))
+        .where(F.col("__pr") <= nprobe)
+        .select("query_id", "qe", "label")
+    )
+    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "label")
+    cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+    scored = (
+        F.broadcast(probes)
+        .join(c, "label")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.5, n_blocks: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) with
     cosine >= threshold — EXACT, via distributed blocked matrix multiply.

@@ -112,6 +112,75 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def repetition_rules(
+    documents: DataFrame,
+    max_dup_line: float = 0.30,
+    max_dup_3gram: float = 0.50,
+    max_symbol: float = 0.10,
+    max_bullet: float = 0.90,
+) -> DataFrame:
+    """Gopher-style repetition / format quality rules (Rae et al. 2021,
+    'Scaling Language Models', app. A1.1 — public filter heuristics used in
+    web-text pipelines):
+
+    - dup_line_frac: fraction of non-empty lines that repeat;
+    - dup_3gram_frac: fraction of word 3-grams that are repeats;
+    - symbol_ratio: '#'/'@'/braces chars per character;
+    - bullet_frac: fraction of lines starting with a bullet;
+    - keep: all thresholds pass.
+
+    Everything is per-row array math over built-ins — zero shuffle, fully
+    codegen-eligible, linear at any scale. All ratios derive from integer
+    counts so the oracle matches exactly."""
+    text = F.col("text")
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    w = _tok(text)
+    n_g = F.greatest(F.size(w) - 2, F.lit(0))
+    grams = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    dup_gram = F.when(
+        n_g > 0,
+        (n_g - F.size(F.array_distinct(grams))).cast("double") / n_g.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    n_char = F.greatest(F.length(text), F.lit(1))
+    n_sym = F.length(F.regexp_replace(text, r"[^#@{}\[\]<>]", ""))
+    symbol_ratio = n_sym.cast("double") / n_char.cast("double")
+
+    bullets = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+    bullet_frac = F.when(
+        n_lines > 0, bullets.cast("double") / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    keep = (
+        (dup_line <= max_dup_line)
+        & (dup_gram <= max_dup_3gram)
+        & (symbol_ratio <= max_symbol)
+        & (bullet_frac <= max_bullet)
+    )
+    return documents.select(
+        "doc_id",
+        F.round(dup_line, 6).alias("dup_line_frac"),
+        F.round(dup_gram, 6).alias("dup_3gram_frac"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
 def rolling_fingerprint(documents: DataFrame, window: int = 8, keep: int = 4) -> DataFrame:
     """Winnowing-style rolling fingerprint: md5i of each ``window``-token
     shingle, keep the ``keep`` smallest per doc (a robust partial-overlap
