@@ -22,14 +22,28 @@ def extraction_query(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = 1,
     available_now: bool = True,
+    glob_root: str | None = None,
+    glob_recursive: bool = True,
 ):
-    """pages stream → vectorized extraction → exactly-once sink.
+    """pages stream → (optional P1 glob-membership predicate) → vectorized
+    extraction → exactly-once sink.
+
+    ``glob_root`` applies the reference PathGlobber membership rules
+    (operators/globber.py) as a JVM predicate on the stream BEFORE the
+    Python stage — the streaming form of registered-roots ingestion: pages
+    outside the root's membership (top-level private dirs, Contents.m,
+    plain dirs below +pkg) never reach the extractor.
 
     Returns (StreamingQuery, sink). Resumable: same checkpoint_dir resumes
     from the last committed offset; replayed batches are skipped by the
     sink's commit log.
     """
     pages = pages_stream(spark, src, max_files_per_trigger)
+    if glob_root is not None:
+        from maxx_spark.operators.globber import glob_filter
+
+        pages = glob_filter(pages, glob_root, recursive=glob_recursive,
+                            parse_live_scripts=True)
     units = extract_code_units(pages)
     sink = ExactlyOnceParquetSink(out_dir)
     w = (

@@ -459,3 +459,24 @@ def test_resolver_tws_matches_applyinpandas(spark, tmp_path):
     assert ("Base", "Mid", True) in got      # need waited for def
     assert ("Mid", "Leaf", True) in got      # def waited for need
     assert ("Nowhere", "Orphan", False) in got  # timer flush, unresolved
+
+
+def test_extraction_query_glob_root(spark, tmp_path):
+    """P1 streaming form: with a glob_root, pages outside the root's
+    membership (top-level private, Contents.m) never reach the extractor."""
+    from maxx_spark.gen import generate_pages_df
+
+    src = str(tmp_path / "globsrc")
+    generate_pages_df(spark, n_projects=1, n_filler=5).write.mode("overwrite").parquet(src)
+    q, sink = extraction_query(
+        spark, src, str(tmp_path / "globout"), str(tmp_path / "globck"),
+        max_files_per_trigger=None, glob_root="matlab/toolbox",
+    )
+    q.awaitTermination(300)
+    units = sink.read_committed(spark)
+    urls = {r["url"] for r in units.select("url").distinct().collect()}
+    assert any(u.endswith("/Tracker.m") for u in urls)
+    assert any("/subdir/accumulate.m" in u for u in urls)      # recursive default
+    assert not any("/private/top_secret.m" in u for u in urls)  # excluded
+    assert not any(u.endswith("/Contents.m") for u in urls)     # excluded
+    assert not any("/helpers/" in u for u in urls)              # plain below +pkg
