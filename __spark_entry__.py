@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_glob_membership": lambda s, d: _q_glob(s),
         "q35_scope_resolution": lambda s, d: _q_resolve_scope(s),
         "q37_builtin_doc_links": lambda s, d: _q_builtin_links(s),
+        "q40_point_lookup": lambda s, d: _q_point_lookup(s),
     }
 
 
@@ -393,6 +394,43 @@ def _gen_units(s: SparkSession):
     from maxx_spark.gen import generate_pages_df
 
     return extract_code_units(generate_pages_df(s, n_projects=2, n_filler=50))
+
+
+def _q_point_lookup(s: SparkSession) -> DataFrame:
+    """P23: dotted member walks and '/'-paths (file + folder forms) through
+    the registered search path, tagged per lookup."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from maxx_spark.operators.searchpath import SearchPath
+
+    units = _gen_units(s)
+    frames = []
+    for host in ("mega-mat.example.com", "proj1.example.org"):
+        top = f"https://{host}/matlab/toolbox"
+        sp = SearchPath([top, f"{top}/subdir"])
+        lookups = [
+            ("dotted_member", "Tracker.advance", None),
+            ("dotted_deep", "metrics.inner.Gauge.bump", None),
+            ("slash_file", "subdir/accumulate.m", top),
+            ("slash_folder", "subdir/", top),
+            ("dotted_missing", "no.such.path", None),
+        ]
+        for tag, ident, wd in lookups:
+            r = sp.point_lookup(units, ident, working_directory=wd)
+            frames.append(
+                r.where(F.col("url").contains(host)).select(
+                    F.lit(host).alias("host"),
+                    F.lit(tag).alias("lookup"),
+                    "unit_path",
+                    "kind",
+                    "url",
+                )
+            )
+    return reduce(lambda a, b: a.unionByName(b), frames).orderBy(
+        "host", "lookup", "unit_path", "kind", "url"
+    )
 
 
 def _q_glob(s: SparkSession) -> DataFrame:
@@ -823,6 +861,7 @@ def _golden_oracles() -> dict[str, str]:
         ("q34_glob_membership", "Q34_GLOB_MEMBERSHIP_SQL"),
         ("q35_scope_resolution", "Q35_SCOPE_RESOLUTION_SQL"),
         ("q37_builtin_doc_links", "Q37_BUILTIN_DOC_LINKS_SQL"),
+        ("q40_point_lookup", "Q40_POINT_LOOKUP_SQL"),
     ):
         if hasattr(golden, attr):
             out[name] = getattr(golden, attr)
