@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_fingerprint": lambda s, d: T.fingerprint(_t(s, d, "documents")["documents"]),
         "q19_rolling_fingerprint": lambda s, d: T.rolling_fingerprint(_t(s, d, "documents")["documents"]),
         "q39_repetition_rules": lambda s, d: T.repetition_rules(_t(s, d, "documents")["documents"]),
+        "q41_corpus_filter": lambda s, d: T.corpus_filter(_t(s, d, "documents")["documents"]),
         # similarity search
         "q20_knn_bruteforce": lambda s, d: S.knn_cosine_bruteforce(_t(s, d, "embeddings")["embeddings"]),
         "q21_knn_lsh": lambda s, d: S.knn_cosine_lsh(_t(s, d, "embeddings")["embeddings"]),
@@ -739,6 +740,43 @@ FROM ranked WHERE rn <= 4 ORDER BY doc_id, sig_rank
         "q20_knn_bruteforce": _knn_sql(False).replace("AS rnk", "AS rnk", 1).replace("SELECT query_id, neighbor_id, rnk FROM (", "SELECT query_id, neighbor_id, rnk::INTEGER AS rnk FROM ("),
         "q21_knn_lsh": _knn_sql(True).replace("SELECT query_id, neighbor_id, rnk FROM (", "SELECT query_id, neighbor_id, rnk::INTEGER AS rnk FROM ("),
         "q38_ivf_knn": _ivf_sql(),
+        "q41_corpus_filter": f"""
+WITH base AS (
+  SELECT doc_id, text, lang AS declared_lang,
+         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines,
+         string_split({NORM}, ' ') AS w
+  FROM documents
+), rep AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_dlines,
+         greatest(len(w) - 2, 0) AS n_g,
+         CASE WHEN len(w) >= 3 THEN len(list_distinct(list_transform(
+             generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+           ELSE 0 END AS n_dg,
+         length(regexp_replace(text, '[^#@{{}}\\[\\]<>]', '', 'g')) AS n_sym,
+         greatest(length(text), 1) AS n_char,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bul
+  FROM base
+), keepf AS (
+  SELECT doc_id,
+         ((CASE WHEN n_lines > 0 THEN (n_lines - n_dlines)::DOUBLE / n_lines ELSE 0.0 END) <= 0.30
+          AND (CASE WHEN n_g > 0 THEN (n_g - n_dg)::DOUBLE / n_g ELSE 0.0 END) <= 0.50
+          AND (n_sym::DOUBLE / n_char) <= 0.10
+          AND (CASE WHEN n_lines > 0 THEN n_bul::DOUBLE / n_lines ELSE 0.0 END) <= 0.90) AS keep
+  FROM rep
+), lng AS (
+  SELECT doc_id, declared_lang, CASE {{pred_cases}} ELSE 'und' END AS pred_lang
+  FROM (SELECT doc_id, declared_lang, {{ratio_cols}} FROM base)
+), canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5({NORM}) AS h FROM documents) GROUP BY h
+)
+SELECT l.doc_id, l.declared_lang, l.pred_lang
+FROM lng l JOIN keepf k USING (doc_id) JOIN canon c USING (doc_id)
+WHERE k.keep AND (l.pred_lang = l.declared_lang OR l.pred_lang = 'und')
+ORDER BY doc_id
+""".replace("{pred_cases}", f"{pred_cases}").replace("{ratio_cols}", ratio_cols),
         "q39_repetition_rules": f"""
 WITH base AS (
   SELECT doc_id, text,

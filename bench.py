@@ -48,6 +48,7 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q36_cosine_near_dup_lsh",
         "q38_ivf_knn",
         "q39_repetition_rules",
+        "q41_corpus_filter",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

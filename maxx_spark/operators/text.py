@@ -181,6 +181,41 @@ def repetition_rules(
     ).orderBy("doc_id")
 
 
+def corpus_filter(documents: DataFrame) -> DataFrame:
+    """The composed training-data pipeline over documents: a doc survives
+    iff (1) it passes the Gopher repetition/format rules, (2) it is the
+    canonical copy in exact dedup (min doc_id per normalized-text hash),
+    and (3) its declared language matches the stopword language ID (or the
+    ID abstains with 'und'). One scan feeds three branches: the repetition
+    rules and lang-ID are shuffle-free column math; dedup adds the single
+    hash-groupBy — the winner set broadcasts back onto the row stream, so
+    the whole filter costs one small shuffle + one broadcast join at any
+    scale. Emits survivors only."""
+    from maxx_spark.operators.dedup import exact_dedup
+
+    rules = repetition_rules(documents).select("doc_id", "keep")
+    lang = lang_id(documents).select("doc_id", "declared_lang", "pred_lang")
+    canon = exact_dedup(documents).select(
+        F.col("canonical_doc_id").alias("doc_id"), F.lit(True).alias("is_canonical")
+    )
+    return (
+        documents.select("doc_id")
+        .join(rules, "doc_id")
+        .join(lang, "doc_id")
+        .join(F.broadcast(canon), "doc_id", "left")
+        .where(
+            F.col("keep")
+            & F.coalesce(F.col("is_canonical"), F.lit(False))
+            & (
+                (F.col("pred_lang") == F.col("declared_lang"))
+                | (F.col("pred_lang") == "und")
+            )
+        )
+        .select("doc_id", "declared_lang", "pred_lang")
+        .orderBy("doc_id")
+    )
+
+
 def rolling_fingerprint(documents: DataFrame, window: int = 8, keep: int = 4) -> DataFrame:
     """Winnowing-style rolling fingerprint: md5i of each ``window``-token
     shingle, keep the ``keep`` smallest per doc (a robust partial-overlap
