@@ -55,9 +55,15 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
     for name in headline:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
-        n = df.count()
+        # force EVERY output column to materialize: a bare count() lets
+        # Catalyst prune all projections, so projection-heavy queries would
+        # report pruned-away (fake) work — hash all columns instead
+        from pyspark.sql import functions as F
+
+        df.select(
+            F.bit_xor(F.xxhash64(*[F.col(c).cast("string") for c in df.columns])).alias("h")
+        ).collect()
         out[name] = round(time.perf_counter() - t0, 3)
-        _ = n
     # extraction throughput over a synthetic pages table (payload stage)
     try:
         from maxx_spark.gen import generate_pages_df
