@@ -176,6 +176,10 @@ def minhash_lsh_pairs(
             ])
         ).alias("bh"),
     ).select("doc_id", "bh.band_id", "bh.band_hash")
+    # cached: the candidate self-join would otherwise recompute the whole
+    # 32-min signature aggregation once PER SIDE (measured 2x at sf0.1);
+    # the banded table is |docs| x bands tiny rows
+    banded = banded.cache()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band_id", "band_hash"])
