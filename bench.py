@@ -39,6 +39,7 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q14_simhash",
         "q16_quality_score",
         "q18_fingerprint",
+        "q19_rolling_fingerprint",
         "q20_knn_bruteforce",
         "q21_knn_lsh",
         "q27_asof_join",

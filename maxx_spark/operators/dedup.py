@@ -89,11 +89,16 @@ def ngram_jaccard_pairs(
     """Exact Jaccard near-dup pairs via inverted index self-join (on the
     stop-shingle-filtered universe, see _capped_shingles).
 
-    |A∩B| from the shingle join; |A|,|B| from per-doc counts (broadcast —
-    doc-count rows are tiny relative to the exploded index). Emits
-    (doc_a, doc_b, inter_size, union_size) with doc_a < doc_b; the Jaccard
-    ratio is re-derivable exactly from the two integers, so no float leaves
-    the operator.
+    |A∩B| from the shingle join; |A|,|B| from per-doc counts, attached via
+    SHUFFLE joins keyed by doc id — `sizes` has one row per document, and
+    a broadcast must fit absolutely (not merely "relative to the exploded
+    index"): at 10^9+ docs a broadcast(sizes) is a guaranteed driver OOM,
+    while the shuffle join moves only (doc_a, doc_b, ints) pairs one extra
+    exchange. (AQE may still auto-broadcast at small SF — fine: that
+    decision is size-based at runtime, not a hint forcing it at any
+    scale.) Emits (doc_a, doc_b, inter_size, union_size) with
+    doc_a < doc_b; the Jaccard ratio is re-derivable exactly from the two
+    integers, so no float leaves the operator.
     """
     sh = _capped_shingles(documents, n, max_df).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -106,8 +111,8 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter_size"))
     )
     out = (
-        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")), "doc_a")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")), "doc_b")
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
         .withColumn("union_size", F.col("n_a") + F.col("n_b") - F.col("inter_size"))
         .where(F.col("inter_size") * F.lit(1.0) / F.col("union_size") >= threshold)
         .select("doc_a", "doc_b", "inter_size", "union_size")
@@ -199,8 +204,12 @@ def minhash_lsh_pairs(
         .agg(F.count(F.lit(1)).alias("inter_size"))
     )
     return (
-        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")), "doc_a")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")), "doc_b")
+        # per-doc sizes attach via shuffle joins, NOT broadcast — one row
+        # per document can never be assumed to fit in driver memory (see
+        # ngram_jaccard_pairs docstring; AQE may still choose broadcast at
+        # runtime when actually small)
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
         .withColumn("union_size", F.col("n_a") + F.col("n_b") - F.col("inter_size"))
         .where(F.col("inter_size") * F.lit(1.0) / F.col("union_size") >= threshold)
         .select("doc_a", "doc_b", "inter_size", "union_size")

@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 DIM = 64
 N_PLANES = 8
 
+# blocked-GEMM sizing: target ~64 MiB of packed float64 vectors per block
+# row (the task-input sweet spot), hard-fail above 512 MiB (well under
+# Spark's 2 GB single-row limit, with headroom for Arrow framing + ids)
+_BLOCK_TARGET_BYTES = 64 << 20
+_BLOCK_MAX_BYTES = 512 << 20
+
 # Deterministic hyperplanes (fixed seed) — embedded as literals in both the
 # Spark plan and the SQL oracle, so bucket assignments match exactly.
 _rng = np.random.RandomState(12345)
@@ -182,7 +188,9 @@ def ivf_knn(embeddings: DataFrame, n_queries: int = 10, k: int = 5, nprobe: int 
     )
 
 
-def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.5, n_blocks: int = 8) -> DataFrame:
+def cosine_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.5, n_blocks: int | None = None
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) with
     cosine >= threshold — EXACT, via distributed blocked matrix multiply.
 
@@ -204,18 +212,34 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.5, n_block
     Work is O(n^2 d) FLOPs either way, but BLAS does them ~100x faster
     than an interpreted per-pair fold, and the n^2 candidate *rows* never
     materialize — only qualifying integer pairs leave the UDF. Shuffle
-    volume is NB * n * d (each block replicated once per partner block);
-    at scale pick NB ~ n*d*8 bytes / (64 MiB target task input), which
-    keeps per-task memory flat as n grows.
+    volume is NB * n * d (each block replicated once per partner block).
+
+    Block sizing is DERIVED, not guessed: with ``n_blocks=None`` (the
+    default) the operator counts the table and probes the vector dim, then
+    picks NB = ceil(n*d*8 B / 64 MiB) so each packed block-row stays near
+    the 64 MiB task-input target and far under Spark's 2 GB single-row
+    limit, flat as n grows. Rows are assigned to blocks by xxhash64 of the
+    id (NOT id mod NB — structured id spaces, e.g. all-even ids, would
+    leave half the blocks empty and double the per-task memory). A guard
+    inside the UDF asserts the packed block actually fits, so an explicit
+    oversized ``n_blocks=...`` override fails loudly instead of as an
+    opaque Arrow/row-limit overflow.
 
     Float note: normalization + dot run in IEEE float64 numpy (pairwise
     summation) vs the oracle's left fold; the difference is ~1e-15 while
     the threshold margins in real data are >=1e-3, and only integer ids
     are emitted, so the comparison is stable.
     """
+    if n_blocks is None:
+        import math
+
+        n = embeddings.count()
+        head = embeddings.select(F.size("embedding").alias("d")).head()
+        dim = int(head["d"]) if head else 1
+        n_blocks = max(1, math.ceil(n * dim * 8 / _BLOCK_TARGET_BYTES))
     packed = (
         embeddings.select(
-            F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("block"),
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)).alias("block"),
             F.struct(F.col("vec_id"), F.col("embedding")).alias("s"),
         )
         .groupBy("block")
@@ -233,12 +257,22 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.5, n_block
         .repartition(n_blocks * (n_blocks + 1) // 2)
     )
 
+    block_max = _BLOCK_MAX_BYTES  # captured into the UDF closure at plan time
+
     def _gemm(batches):
         import pandas as pd
 
         def unpack(rows):
             ids = np.fromiter((r["vec_id"] for r in rows), dtype=np.int64, count=len(rows))
             m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+            # explicit block-size guard: fail with the sizing rule, not an
+            # opaque 2 GB row-limit / Arrow overflow, if a manual n_blocks
+            # override packed too many vectors into one block row
+            assert m.nbytes <= block_max, (
+                f"packed block is {m.nbytes} B > {block_max} B; "
+                f"raise n_blocks to ~ceil(n*d*8/{_BLOCK_TARGET_BYTES}) "
+                "or pass n_blocks=None to auto-derive"
+            )
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             return ids, m
 

@@ -27,6 +27,18 @@ def plan_summary(df: DataFrame) -> dict:
     }
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of EXPLICIT broadcast hints in the optimized logical plan.
+
+    Distinct from plan_summary's BroadcastHashJoin count: AQE choosing a
+    broadcast at runtime because a side happens to be small is fine and
+    size-safe; an F.broadcast() hint FORCES the broadcast at any scale.
+    The 100 TB gate is therefore: no hint on any unbounded-cardinality
+    side (dims are allowed — assert a specific count, not zero)."""
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    return p.count("strategy=broadcast")
+
+
 def assert_pushdown(df: DataFrame, column: str) -> bool:
     """True iff a filter on ``column`` reached the parquet scan."""
     p = executed_plan(df)

@@ -96,6 +96,28 @@ def test_resolve_in_scope_broadcasts_requests_and_builtins(spark):
     assert s["broadcast_joins"] >= 2
 
 
+def test_no_unbounded_broadcast_hints(spark, sf_dir):
+    """Corpus-scale gate: operators over the documents/embeddings tables
+    must not carry an explicit broadcast hint on any unbounded-cardinality
+    side (per-doc sizes, canonical sets, …) — a hint forces the broadcast
+    at ANY scale, where one-row-per-document ⇒ driver OOM. AQE choosing a
+    runtime broadcast when a side is actually small remains allowed."""
+    from maxx_spark.operators import dedup as D
+    from maxx_spark.operators import text as T
+    from maxx_spark.plans import broadcast_hint_count, executed_plan
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    for df in (
+        T.corpus_filter(docs),
+        D.ngram_jaccard_pairs(docs),
+        D.minhash_lsh_pairs(docs),
+        D.exact_dedup(docs),
+    ):
+        assert broadcast_hint_count(df) == 0
+    # corpus_filter's canonical pick is now a window, not a join at all
+    assert "Join" not in executed_plan(T.corpus_filter(docs))
+
+
 def test_builtin_expr_links_broadcast(spark):
     """P32: the builtins dim join must be a broadcast, never a shuffle of
     the exploded identifier tokens against a shuffled dim."""
