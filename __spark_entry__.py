@@ -450,7 +450,10 @@ def _q_glob(s: SparkSession) -> DataFrame:
 
 # (scope_path, name) request set for q35 — includes a name shadowed at two
 # scopes (rescale_span), an own member, a root-folder hit, a builtin
-# fallback, and an unresolvable name.
+# fallback, an unresolvable name, and an error case: resolving inside a
+# METHOD scope (parent is a class, not a namespace) must stop after own
+# members and report 'error' — never fall through to builtins — mirroring
+# the reference's NameResolutionError (objects.py:497-522).
 SCOPE_REQUESTS = [
     ("metrics.inner.Gauge", "rescale_span"),
     ("metrics.inner.Gauge", "bump"),
@@ -459,6 +462,7 @@ SCOPE_REQUESTS = [
     ("Tracker", "accumulate"),
     ("metrics.Gauge", "zeros"),
     ("Tracker", "no_such_name"),
+    ("Tracker.advance", "zeros"),
 ]
 
 

@@ -120,6 +120,7 @@ classdef (Abstract, Sealed) Shape < handle
 
     properties (Hidden)
         CacheSlot = 7
+        Thumbnail = imread('logo.png')
     end
 
     properties (Constant)

@@ -125,10 +125,18 @@ BUILTIN_NAMES: list[str] = [
 ]
 
 
+def all_builtin_names() -> list[str]:
+    """Core + extended engine-owned names (builtins_names.py widens the
+    dim toward the reference's coverage; still a few tens of KB)."""
+    from maxx_spark.operators.builtins_names import EXTENDED_NAMES
+
+    return sorted(set(BUILTIN_NAMES) | set(EXTENDED_NAMES))
+
+
 def builtins_dim(spark) -> DataFrame:
     """(builtin_name, doc_url) dimension — tiny, always broadcast."""
     rows = sorted(
-        {(n, f"{MATHWORKS_DOC_URL}/ref/{n.lower()}.html") for n in BUILTIN_NAMES}
+        {(n, f"{MATHWORKS_DOC_URL}/ref/{n.lower()}.html") for n in all_builtin_names()}
     )
     return spark.createDataFrame(rows, "builtin_name string, doc_url string")
 

@@ -332,8 +332,42 @@ def resolve_in_scope(
     equi-join of the members table against the posexploded scope chain of
     the (broadcast) request set, then a min-level pick — no iteration, no
     driver loop; the members side shuffles once on (host, owner, name).
+
+    Error vs not-found (reference objects.py:497-522): ``Object.resolve``
+    only recurses while the parent is a namespace/folder — when the scope
+    unit hangs off a CLASS or FUNCTION parent (a method, a class-folder
+    member), a miss on its own members raises ``NameResolutionError``
+    without ever consulting outer scopes or builtins. We mirror that as
+    ``resolution='error'``: the chain is cut after level 0 whenever the
+    scope unit's parent_path is a non-namespace unit (no ``+`` prefix),
+    and a level-0 miss then resolves to 'error', never 'builtin' or
+    'unresolved'. The cut flag comes from a broadcast semi-join of the
+    units table against the (tiny) distinct scope set, so the big side
+    still shuffles only once.
     """
     u = with_host(units)
+    # chain-cut dim: does scope_path name a unit whose parent is a
+    # non-namespace container (class / function)?
+    scope_cut = (
+        u.join(
+            F.broadcast(
+                requests.select(
+                    "host", F.col("scope_path").alias("unit_path")
+                ).distinct()
+            ),
+            ["host", "unit_path"],
+        )
+        .groupBy("host", F.col("unit_path").alias("scope_path"))
+        .agg(
+            F.max(
+                (
+                    F.col("parent_path").isNotNull()
+                    & ~F.col("parent_path").startswith("+")
+                ).cast("int")
+            ).alias("__cut")
+        )
+        .select("host", "scope_path", (F.col("__cut") == 1).alias("__cut"))
+    )
     members = (
         u.where(~F.col("kind").isin("error", "readme") & F.col("name").isNotNull())
         .groupBy(
@@ -343,12 +377,16 @@ def resolve_in_scope(
         )
         .agg(F.min("unit_path").alias("target_path"))
     )
-    req = requests.select(
+    req_cut = requests.join(scope_cut, ["host", "scope_path"], "left").withColumn(
+        "__cut", F.coalesce(F.col("__cut"), F.lit(False))
+    )
+    req = req_cut.select(
         "host",
         "scope_path",
         "name",
+        "__cut",
         F.posexplode(_scope_levels(F.col("scope_path"))).alias("lvl", "owner"),
-    )
+    ).where(~F.col("__cut") | (F.col("lvl") == 0))  # cut chain after own members
     hits = F.broadcast(req).join(
         members,
         (req.host == members.host)
@@ -362,7 +400,7 @@ def resolve_in_scope(
         .select("host", "scope_path", "name", "lvl", "target_path")
     )
     out = (
-        requests.join(best, ["host", "scope_path", "name"], "left")
+        req_cut.join(best, ["host", "scope_path", "name"], "left")
         .join(
             F.broadcast(builtins),
             F.col("name") == builtins.builtin_name,
@@ -372,11 +410,14 @@ def resolve_in_scope(
             "host",
             "scope_path",
             "name",
-            F.coalesce(F.col("target_path"), F.col("doc_url")).alias("resolved_path"),
+            F.when(F.col("target_path").isNotNull(), F.col("target_path"))
+            .when(~F.col("__cut"), F.col("doc_url"))  # no builtin fallback on error
+            .alias("resolved_path"),
             F.when(F.col("target_path").isNotNull(), F.col("lvl"))
             .otherwise(F.lit(None).cast("int"))
             .alias("resolved_level"),
             F.when(F.col("target_path").isNotNull(), F.lit("scope"))
+            .when(F.col("__cut"), F.lit("error"))
             .when(F.col("doc_url").isNotNull(), F.lit("builtin"))
             .otherwise(F.lit("unresolved"))
             .alias("resolution"),

@@ -198,6 +198,57 @@ def test_builtin_expr_links(spark, units):
     assert ("Tracker.reset", "false", "false") in args
     # quoted strings are stripped: "linear" must NOT produce a hit
     assert not any("linear" in r["expr"] for r in rows)
+    # extended-table coverage (round-3): a toolbox builtin that the 550-name
+    # core table missed now links — the quoted 'logo.png' is stripped and
+    # imread (Image Processing Toolbox) is the first identifier
+    props = {(r["unit_path"], r["builtin_name"]) for r in by_site["property_default"]}
+    assert ("Shape.Thumbnail", "imread") in props
+
+
+def test_extended_builtins_resolve(spark, units):
+    """Round-3 builtins expansion: previously-unresolved common toolbox
+    names now resolve as builtins in scope resolution, and the dim holds
+    >= 1,500 engine-owned names."""
+    from maxx_spark.operators.builtins import all_builtin_names
+    from maxx_spark.operators.codeunits import resolve_in_scope
+
+    assert len(all_builtin_names()) >= 1500
+    reqs = spark.createDataFrame(
+        [("mega-mat.example.com", "Tracker", n) for n in ("imread", "fitlm", "parpool")],
+        "host string, scope_path string, name string",
+    )
+    out = {
+        r["name"]: (r["resolution"], r["resolved_path"])
+        for r in resolve_in_scope(units, reqs, builtins_df(spark)).collect()
+    }
+    for n in ("imread", "fitlm", "parpool"):
+        res, path = out[n]
+        assert res == "builtin" and path.endswith(f"/{n}.html")
+
+
+def test_resolve_error_vs_unresolved(spark, units):
+    """Reference objects.py:497-522: resolving inside a scope whose parent
+    is a class (a method) stops after own members with an ERROR — it never
+    consults outer scopes or builtins; 'unresolved' remains the full-chain
+    miss from a namespace/folder chain."""
+    from maxx_spark.operators.codeunits import resolve_in_scope
+
+    reqs = spark.createDataFrame(
+        [
+            ("mega-mat.example.com", "Tracker.advance", "zeros"),       # builtin name, but cut
+            ("mega-mat.example.com", "Tracker.advance", "no_such"),     # plain miss, cut
+            ("mega-mat.example.com", "Tracker", "zeros"),               # class scope → builtin ok
+        ],
+        "host string, scope_path string, name string",
+    )
+    out = {
+        (r["scope_path"], r["name"]): (r["resolution"], r["resolved_path"])
+        for r in resolve_in_scope(units, reqs, builtins_df(spark)).collect()
+    }
+    assert out[("Tracker.advance", "zeros")] == ("error", None)
+    assert out[("Tracker.advance", "no_such")] == ("error", None)
+    res, path = out[("Tracker", "zeros")]
+    assert res == "builtin" and path.endswith("/zeros.html")
 
 
 def test_privacy_columns(units):
