@@ -117,6 +117,40 @@ ORDER BY 1, 2
 """
 
 
+def _probes_sql_list() -> str:
+    from maxx_spark.operators.text import CONTAMINATION_PROBES
+
+    return "[" + ", ".join(f"'{p}'" for p in CONTAMINATION_PROBES) + "]"
+
+
+def _dedup_clusters_sql() -> str:
+    """q44: connected components over the q13 pair graph via a recursive
+    reachability CTE — cluster id = min reachable doc id (DuckDB's
+    WITH RECURSIVE is the single-node oracle for the distributed min-label
+    propagation loop)."""
+    body = _minhash_lsh_sql().strip()
+    pairs_body, _ = body.rsplit("ORDER BY", 1)
+    return f"""
+WITH RECURSIVE pairsq AS (
+{pairs_body}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairsq
+  UNION
+  SELECT doc_b, doc_a FROM pairsq
+), reach(src, dst) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+), lab AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+), sz AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
+)
+SELECT doc_id, cluster_id, cluster_size
+FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id
+"""
+
+
 _DOT_SQL = (
     "list_reduce(list_transform(generate_series(1, 64), "
     "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (p, q) -> p + q)"
@@ -298,6 +332,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_rolling_fingerprint": lambda s, d: T.rolling_fingerprint(_t(s, d, "documents")["documents"]),
         "q39_repetition_rules": lambda s, d: T.repetition_rules(_t(s, d, "documents")["documents"]),
         "q41_corpus_filter": lambda s, d: T.corpus_filter(_t(s, d, "documents")["documents"]),
+        # round-3 corpus ops: keyword extraction, dedup clustering,
+        # per-source health, contamination scan
+        "q42_top_terms": lambda s, d: T.top_terms(_t(s, d, "documents")["documents"]),
+        "q43_source_quality": lambda s, d: T.source_quality(_t(s, d, "documents")["documents"]),
+        "q44_dedup_clusters": lambda s, d: D.dedup_clusters(_t(s, d, "documents")["documents"]),
+        "q45_contamination": lambda s, d: T.contamination_check(_t(s, d, "documents")["documents"]),
         # similarity search
         "q20_knn_bruteforce": lambda s, d: S.knn_cosine_bruteforce(_t(s, d, "embeddings")["embeddings"]),
         "q21_knn_lsh": lambda s, d: S.knn_cosine_lsh(_t(s, d, "embeddings")["embeddings"]),
@@ -740,6 +780,61 @@ WITH toks AS (
 )
 SELECT doc_id, (rn - 1)::INTEGER AS sig_rank, h AS sig_hash
 FROM ranked WHERE rn <= 4 ORDER BY doc_id, sig_rank
+""",
+        "q42_top_terms": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM}, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE length(term) >= 3 GROUP BY 1, 2
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), ranked AS (
+  SELECT doc_id, term, tf, df,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rnk
+  FROM tf JOIN dfq USING (term)
+)
+SELECT doc_id, rnk::INTEGER AS rnk, term, tf, df
+FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk
+""",
+        "q43_source_quality": f"""
+WITH t AS (
+  SELECT source, text, string_split({NORM}, ' ') AS w,
+    length(text) AS n_char,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT source,
+    ((CASE WHEN len(w) >= 10 AND len(w) <= 100000 THEN 1 ELSE 0 END)
+     + (CASE WHEN (CASE WHEN len(w) > 0 THEN n_alpha::DOUBLE / len(w) ELSE 0.0 END) >= 2.0
+             AND (CASE WHEN len(w) > 0 THEN n_alpha::DOUBLE / len(w) ELSE 0.0 END) <= 12.0
+             THEN 1 ELSE 0 END)
+     + (CASE WHEN (CASE WHEN len(w) > 0 THEN len(list_filter(w, x -> x IN {en}))::DOUBLE / len(w) ELSE 0.0 END) >= 0.01
+             THEN 1 ELSE 0 END)
+     + (CASE WHEN (CASE WHEN n_char > 0 THEN n_punct::DOUBLE / n_char ELSE 0.0 END) <= 0.2
+             THEN 1 ELSE 0 END)) AS q,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp,
+    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wt
+  FROM t
+)
+SELECT source,
+  count(*) AS n_docs,
+  count(DISTINCT fp) AS n_distinct,
+  round(sum(q)::DECIMAL(20,0) / count(*)::DECIMAL(20,0), 6)::DOUBLE AS mean_quality,
+  sum(wt)::BIGINT AS total_word_tokens
+FROM m GROUP BY source ORDER BY source
+""",
+        "q44_dedup_clusters": _dedup_clusters_sql(),
+        "q45_contamination": f"""
+WITH probes AS (
+  SELECT unnest({_probes_sql_list()}) AS probe
+), hits AS (
+  SELECT probe, count(*) AS n_docs, min(doc_id) AS first_doc_id
+  FROM documents d JOIN probes p ON contains({NORM}, p.probe)
+  GROUP BY probe
+)
+SELECT p.probe, coalesce(h.n_docs, 0) AS n_docs, h.first_doc_id
+FROM probes p LEFT JOIN hits h USING (probe) ORDER BY probe
 """,
         "q20_knn_bruteforce": _knn_sql(False).replace("AS rnk", "AS rnk", 1).replace("SELECT query_id, neighbor_id, rnk FROM (", "SELECT query_id, neighbor_id, rnk::INTEGER AS rnk FROM ("),
         "q21_knn_lsh": _knn_sql(True).replace("SELECT query_id, neighbor_id, rnk FROM (", "SELECT query_id, neighbor_id, rnk::INTEGER AS rnk FROM ("),

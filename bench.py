@@ -50,6 +50,10 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q38_ivf_knn",
         "q39_repetition_rules",
         "q41_corpus_filter",
+        "q42_top_terms",
+        "q43_source_quality",
+        "q44_dedup_clusters",
+        "q45_contamination",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

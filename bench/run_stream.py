@@ -50,11 +50,15 @@ def main() -> None:
 
     n_pages = spark.read.schema(PAGES).parquet(args.src).count()
 
-    # warmup: initialize Python workers + parser module on every core
+    # warmup: initialize Python workers + parser module on EVERY core —
+    # limit() alone collapses to one partition and warms a single worker,
+    # leaving the first micro-batch to pay 31 worker spin-ups (~7 s at
+    # local[32], ~10% of a 4-batch run); repartition fans the warmup rows
+    # across >= one task per slot
     from maxx_spark.extract import extract_code_units
 
     extract_code_units(
-        spark.read.schema(PAGES).parquet(args.src).limit(512)
+        spark.read.schema(PAGES).parquet(args.src).limit(2048).repartition(64)
     ).count()
 
     t0 = time.perf_counter()

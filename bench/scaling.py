@@ -83,6 +83,41 @@ def single_process_rate() -> dict:
     }
 
 
+def _ctrl_worker(cpu: int, n_per: int, barrier) -> None:
+    os.sched_setaffinity(0, {cpu})
+    sys.path.insert(0, REPO)
+    from maxx_spark.extract import extract_rows_for_page
+    from maxx_spark.gen import HEAVY_TEMPLATES
+
+    for i in range(20):  # warmup: regex/module compile before the clock
+        extract_rows_for_page(f"https://h/w/Heavy{i % 4}.m", None, None, HEAVY_TEMPLATES[i % 4])
+    barrier.wait()
+    for i in range(n_per):
+        extract_rows_for_page(f"https://h/x/Heavy{i % 4}.m", None, None, HEAVY_TEMPLATES[i % 4])
+
+
+def independent_control(k: int, n_per: int = 1200) -> float:
+    """Hardware-ceiling control: K FULLY INDEPENDENT single-core parser
+    processes (no Spark, no shared state), each pinned to its own CPU, all
+    released by a barrier; ensemble rate = K*n_per / time-until-all-done.
+    The 8-vs-32 ratio of this control is the box's shared-memory-bandwidth
+    ceiling — no engine can scale better than its own parsers do with zero
+    engine overhead."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(k + 1)
+    procs = [ctx.Process(target=_ctrl_worker, args=(cpu, n_per, barrier)) for cpu in range(k)]
+    for p in procs:
+        p.start()
+    barrier.wait()
+    t0 = time.perf_counter()
+    for p in procs:
+        p.join()
+    wall = time.perf_counter() - t0
+    return round(k * n_per / wall, 1)
+
+
 def run_level(master: str, cpus: str, src: str, zip_path: str, tag: str, mfpt: int, attempts: int = 2) -> dict:
     out = f"/tmp/maxx_scale_{tag}/out"
     ckpt = f"/tmp/maxx_scale_{tag}/ckpt"
@@ -111,16 +146,6 @@ def run_level(master: str, cpus: str, src: str, zip_path: str, tag: str, mfpt: i
     return best
 
 
-def pair(name, lo, hi, factor=4.0):
-    eff = hi["pages_per_sec"] / (factor * lo["pages_per_sec"])
-    return {
-        "low": lo,
-        "high": hi,
-        "scaling_efficiency": round(eff, 3),
-        "pass_0_8": eff >= 0.8,
-    }
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages-small", type=int, default=30_000)
@@ -145,10 +170,19 @@ def main() -> None:
     sp = single_process_rate()
     print("single-process:", json.dumps(sp), flush=True)
 
-    r2 = run_level("local[2]", "0-1", src_small, zip_path, "n2", 32)
-    print("local[2]/2cpu:", json.dumps(r2), flush=True)
-    r8s = run_level("local[8]", "0-7", src_small, zip_path, "n8s", 32)
-    print("local[8]/8cpu (small):", json.dumps(r8s), flush=True)
+    # 2-vs-8 pair: SAME adjacent-pair median protocol as 8-vs-32 (round-3
+    # fix — best-of-N per leg let box drift between the two legs leak into
+    # the ratio; adjacent pairing cancels it)
+    pairs_28 = []
+    for k in range(3):
+        r8s = run_level("local[8]", "0-7", src_small, zip_path, f"n8s_{k}", 32, attempts=1)
+        r2 = run_level("local[2]", "0-1", src_small, zip_path, f"n2_{k}", 32, attempts=1)
+        eff = r8s["pages_per_sec"] / (4.0 * r2["pages_per_sec"])
+        pairs_28.append({"low": r2, "high": r8s, "efficiency": round(eff, 3)})
+        print(f"pair2v8 {k}: eff={eff:.3f} "
+              f"(2: {r2['pages_per_sec']}, 8: {r8s['pages_per_sec']})", flush=True)
+    effs_28 = sorted(p["efficiency"] for p in pairs_28)
+    med_28 = effs_28[len(effs_28) // 2]
     # 8-vs-32 pair: the box's throughput drifts ±40% over tens of minutes
     # (shared VM), so the two legs run back-to-back as ADJACENT pairs and
     # the reported efficiency is the median of the pairwise ratios — a
@@ -164,14 +198,34 @@ def main() -> None:
     effs = sorted(p["efficiency"] for p in pairs_raw)
     med = effs[len(effs) // 2]
 
+    # same-session hardware-ceiling control ladder (adjacent pairs, median)
+    ctrl_pairs = []
+    for k in range(3):
+        c32 = independent_control(32)
+        c8 = independent_control(8)
+        ctrl_pairs.append({"files_per_sec_8": c8, "files_per_sec_32": c32,
+                           "efficiency": round(c32 / (4.0 * c8), 3)})
+        print(f"ctrl {k}: eff={ctrl_pairs[-1]['efficiency']} (8: {c8}, 32: {c32})", flush=True)
+    ctrl_effs = sorted(p["efficiency"] for p in ctrl_pairs)
+    ctrl_med = ctrl_effs[len(ctrl_effs) // 2]
+
     result = {
         "single_process": sp,
-        "pair_2_8": pair("2v8", r2, r8s),
+        "pair_2_8": {
+            "samples": pairs_28,
+            "median_efficiency": med_28,
+            "pass_0_8": med_28 >= 0.8,
+        },
         "pair_8_32": {
             "samples": pairs_raw,
             "median_efficiency": med,
             "pass_0_8": med >= 0.8,
         },
+        "independent_process_control_8_32": {
+            "samples": ctrl_pairs,
+            "median_efficiency": ctrl_med,
+        },
+        "streaming_vs_hardware_ceiling": round(med / ctrl_med, 3) if ctrl_med else None,
         "input_pages": {"small": n_small, "big": n_big},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

@@ -179,9 +179,21 @@ def link_builtin_exprs(units: DataFrame, builtins: DataFrame) -> DataFrame:
     link (reference Expr.doc, expressions.py:48-53). Emits
     (host, unit_path, site, expr, builtin_name, doc_url) for hits only."""
     sites = _expr_sites(units)
-    # strip quoted strings, then token-split identifiers in order
+    # strip quoted strings, then token-split identifiers in order. MATLAB
+    # escapes a quote inside a string by DOUBLING it ('it''s', "say ""hi""")
+    # — the naive '[^']*' would close at the first inner quote and leak the
+    # string tail as identifier tokens; (?:[^']|'')* consumes doubled
+    # quotes so the whole literal strips. A trailing % comment (legal after
+    # a default expression) is stripped AFTER strings, so a % inside a
+    # string can't truncate the expression.
     cleaned = F.regexp_replace(
-        F.regexp_replace(F.col("expr"), r"'[^']*'", " "), r'"[^"]*"', " "
+        F.regexp_replace(
+            F.regexp_replace(F.col("expr"), r"'(?:[^']|'')*'", " "),
+            r'"(?:[^"]|"")*"',
+            " ",
+        ),
+        r"%.*",
+        " ",
     )
     toks = sites.select(
         "host", "unit_path", "site", "expr",

@@ -217,6 +217,91 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.05,
+    max_df: int = 64,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash-LSH pair graph, labelling every clustered doc with the min
+    doc_id of its component (the canonical representative a training
+    pipeline keeps). Emits (doc_id, cluster_id, cluster_size) for docs
+    that belong to a component of >= 2.
+
+    Distributed algorithm: iterative min-label propagation — each round,
+    every node takes the min of its own label and its neighbors' labels.
+    Rounds needed = component diameter; near-dup components are copies of
+    the same content, so diameters are tiny (mostly cliques through the
+    canonical text, diameter <= 2-3). Each round is ONE shuffle join of
+    the (node, label) table with the symmetrized edge list + one agg; the
+    loop localCheckpoints every round to cut the lineage (same pattern as
+    the MRO ancestor closure, codeunits.py) and exits on a converged
+    aggregate (sum of labels stable — monotone non-increasing, so equality
+    ⇔ fixpoint; no per-round collect of data rows). At web scale the
+    well-known refinement is alternating large-star/small-star (Kiveris et
+    al. 2014), which bounds rounds to O(log^2 n) on adversarial graphs —
+    the per-round plan here is the same join+agg shape, so the swap is
+    local; for dedup graphs plain propagation converges in fewer rounds.
+    """
+    pairs = minhash_lsh_pairs(
+        documents, num_hashes=num_hashes, bands=bands, n=n,
+        threshold=threshold, max_df=max_df,
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs, max_iters=max_iters)
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected (doc_a, doc_b) pair list →
+    (doc_id, cluster_id, cluster_size), cluster_id = component min. See
+    dedup_clusters for the scale analysis; exposed separately so the
+    iteration is testable on crafted chain graphs (diameter > 1)."""
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        # convergence probe: sum of labels is monotone non-increasing and
+        # strictly decreases while any label still moves, so equality ⇔
+        # fixpoint — one scalar agg per round, no data collect
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def simhash32(documents: DataFrame) -> DataFrame:
     """32-bit SimHash per document from word-token md5i hashes.
 

@@ -9,7 +9,7 @@ shuffle at all except the final optional orderBy for display).
 from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from maxx_spark.operators.dedup import normalized
@@ -275,6 +275,119 @@ def corpus_filter(documents: DataFrame) -> DataFrame:
         )
         .select("doc_id", "declared_lang", "pred_lang")
         .orderBy("doc_id")
+    )
+
+
+def top_terms(documents: DataFrame, k: int = 5, min_len: int = 3) -> DataFrame:
+    """Top-``k`` salient terms per document — an integer-only tf-idf-style
+    keyword extractor: rank terms by (tf desc, df asc, term asc). Rare
+    terms win ties, which is exactly the idf direction, but the score
+    stays a pure integer triple so the ranking is bit-reproducible on any
+    engine (a float tf*log(N/df) product would rank identically on ties
+    only up to float formatting).
+
+    Plan shape at scale: one explode + two hash aggs + one shuffle join on
+    ``term`` (df side is one row per DISTINCT term — unbounded, so NO
+    broadcast hint; AQE may still pick one at small SF) + a window
+    partitioned by doc_id. All keys are uniform (terms are zipfian but the
+    df agg combines map-side; the join key fanout is bounded by per-doc
+    distinct terms)."""
+    toks = documents.select("doc_id", F.explode(_tok(F.col("text"))).alias("term"))
+    toks = toks.where(F.length("term") >= min_len)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (
+        tf.join(df_, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", F.col("rnk").cast("int").alias("rnk"), "term", "tf", "df")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def source_quality(documents: DataFrame) -> DataFrame:
+    """Per-source corpus health rollup: doc count, distinct-content count
+    (by the aggressive fingerprint norm), mean quality composite, total
+    regex word tokens. ONE scan + one groupBy on ``source`` (bounded
+    cardinality = number of crawl sources). Mean aggregates the integer
+    composite in DECIMAL and rounds once, so the oracle matches exactly."""
+    text = F.col("text")
+    toks = _tok(text)
+    n_tok = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    n_char = F.length(text)
+    en = STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*en)))
+    mean_wl = F.when(n_tok > 0, n_alpha.cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_char > 0, n_punct.cast("double") / n_char.cast("double")).otherwise(F.lit(0.0))
+    composite = (
+        F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1)).otherwise(F.lit(0))
+        + F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), F.lit(1)).otherwise(F.lit(0))
+        + F.when(stop_ratio >= 0.01, F.lit(1)).otherwise(F.lit(0))
+        + F.when(punct_ratio <= 0.2, F.lit(1)).otherwise(F.lit(0))
+    )
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "), r"\s+", " "))
+    wordish = F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+"), 0))
+    return (
+        documents.select(
+            "source",
+            composite.alias("q"),
+            F.md5(norm).alias("fp"),
+            wordish.alias("wt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+            (F.round(F.sum(F.col("q").cast("decimal(20,0)"))
+                     / F.count(F.lit(1)).cast("decimal(20,0)"), 6)
+             ).cast("double").alias("mean_quality"),
+            F.sum("wt").alias("total_word_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# Fixed contamination probe set: 3-grams that may appear verbatim in a
+# benchmark/eval set — the check is "how many training docs contain each
+# probe". A FIXED, bounded probe dim is the legitimate broadcast case.
+CONTAMINATION_PROBES = [
+    "hash join order",
+    "table scan merge",
+    "spark window window",
+    "group agg row",
+    "quantum flux capacitor",
+]
+
+
+def contamination_check(documents: DataFrame, probes: list[str] | None = None) -> DataFrame:
+    """Benchmark-contamination scan: for each probe n-gram, the number of
+    documents whose normalized text contains it verbatim, plus the first
+    (min) doc id as an exemplar. Implemented as broadcast-probe × doc
+    stream with a JVM `contains` filter — one scan of the corpus, |probes|
+    predicate evaluations per row, partial counts combine map-side. Probes
+    with zero hits are still emitted (left join against the probe dim),
+    because 'no contamination' is the result that matters."""
+    probes = CONTAMINATION_PROBES if probes is None else probes
+    spark = documents.sparkSession
+    pdf = spark.createDataFrame([(p,) for p in probes], "probe string")
+    hits = (
+        documents.select("doc_id", normalized(F.col("text")).alias("__t"))
+        .join(F.broadcast(pdf), F.expr("contains(__t, probe)"))
+        .groupBy("probe")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc_id"))
+    )
+    return (
+        pdf.join(hits, "probe", "left")
+        .select(
+            "probe",
+            F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+            "first_doc_id",
+        )
+        .orderBy("probe")
     )
 
 

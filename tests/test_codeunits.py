@@ -205,6 +205,42 @@ def test_builtin_expr_links(spark, units):
     assert ("Shape.Thumbnail", "imread") in props
 
 
+def test_expr_tokenize_escaped_quotes_and_comments(spark):
+    """Expression-fidelity nuances (VERDICT r2): a doubled-quote escape
+    inside a string literal must not leak the string tail as identifier
+    tokens, and a trailing %-comment must not contribute identifiers."""
+    from maxx_spark.operators.builtins import builtins_dim, link_builtin_exprs
+
+    schema = (
+        "url string, unit_path string, kind string, bases array<string>, "
+        "attributes map<string,string>, arguments array<struct<name:string,default:string>>"
+    )
+    rows = [
+        # sqrt only inside the string → no link at all
+        ("https://h.example.com/x/C.m", "C.P", "property", None,
+         {"default": "'use sqrt later'"}, None),
+        # sqrt only inside the trailing comment → mod links, sqrt doesn't
+        ("https://h.example.com/x/C.m", "C.Q", "property", None,
+         {"default": "mod(x, 3) % sqrt fallback"}, None),
+        # doubled-quote escape: 'it''s pi' is ONE literal — pi must not
+        # link; floor (outside the string) does
+        ("https://h.example.com/x/C.m", "C.R", "property", None,
+         {"default": "'it''s pi' + floor(y)"}, None),
+        # double-quoted variant with "" escape
+        ("https://h.example.com/x/C.m", "C.S", "property", None,
+         {"default": '"say ""sin"" now" + cos(z)'}, None),
+    ]
+    units = spark.createDataFrame(rows, schema)
+    out = {
+        r["unit_path"]: r["builtin_name"]
+        for r in link_builtin_exprs(units, builtins_dim(spark)).collect()
+    }
+    assert "C.P" not in out
+    assert out["C.Q"] == "mod"
+    assert out["C.R"] == "floor"
+    assert out["C.S"] == "cos"
+
+
 def test_extended_builtins_resolve(spark, units):
     """Round-3 builtins expansion: previously-unresolved common toolbox
     names now resolve as builtins in scope resolution, and the dim holds

@@ -1,0 +1,83 @@
+"""Unit tests for the round-3 corpus operators (q42-q45). The DuckDB
+oracle compare covers end-to-end values at sf0.001/0.01; these pin the
+algorithmic properties the small-SF corpus may not exercise — chain-graph
+convergence, tie-breaks, zero-hit probes."""
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", f"src{i % 2}", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """A 4-node CHAIN (diameter 3 — needs multiple propagation rounds),
+    a separate pair, and an isolated pair; labels = component min."""
+    from maxx_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (100, 200), (7, 8)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in connected_components(pairs).collect()}
+    assert out == {
+        10: (10, 4), 20: (10, 4), 30: (10, 4), 40: (10, 4),
+        100: (100, 2), 200: (100, 2),
+        7: (7, 2), 8: (7, 2),
+    }
+
+
+def test_connected_components_reversed_chain(spark):
+    """Worst case for min-propagation: the min id sits at the chain END
+    (edges point 'away'), forcing label flow across the full diameter."""
+    from maxx_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(50, 40), (40, 30), (30, 20), (20, 1)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert set(out.values()) == {1} and len(out) == 5
+
+
+def test_top_terms_tie_breaks(spark):
+    """tf desc, then df asc (rarer wins), then term asc."""
+    from maxx_spark.operators.text import top_terms
+
+    docs = _docs(spark, [
+        "alpha alpha beta beta gamma",   # alpha/beta tf=2; gamma tf=1
+        "beta delta delta",              # beta appears in 2 docs, alpha in 1
+    ])
+    out = [(r["doc_id"], r["rnk"], r["term"], r["tf"], r["df"])
+           for r in top_terms(docs, k=3).collect()]
+    # doc 0: alpha (tf2, df1) beats beta (tf2, df2) on rarity; gamma third
+    assert out[0] == (0, 1, "alpha", 2, 1)
+    assert out[1] == (0, 2, "beta", 2, 2)
+    assert out[2] == (0, 3, "gamma", 1, 1)
+    # doc 1: delta (tf2) first, then beta
+    assert out[3] == (1, 1, "delta", 2, 1)
+    assert out[4] == (1, 2, "beta", 1, 2)
+
+
+def test_contamination_zero_hit_probe_still_emitted(spark):
+    from maxx_spark.operators.text import contamination_check
+
+    docs = _docs(spark, ["the hash join order wins", "nothing to see"])
+    out = {r["probe"]: (r["n_docs"], r["first_doc_id"])
+           for r in contamination_check(
+               docs, probes=["hash join order", "never present ngram"]).collect()}
+    assert out["hash join order"] == (1, 0)
+    assert out["never present ngram"] == (0, None)
+
+
+def test_source_quality_counts_distinct_content(spark):
+    from maxx_spark.operators.text import source_quality
+
+    # doc 0/2 -> src0 (identical text -> 1 distinct), doc 1/3 -> src1
+    docs = _docs(spark, ["same text here ok", "one of a kind", "same text here ok", "another text"])
+    out = {r["source"]: (r["n_docs"], r["n_distinct"]) for r in source_quality(docs).collect()}
+    assert out["src0"] == (2, 1)
+    assert out["src1"] == (2, 2)
