@@ -21,12 +21,14 @@ from maxx_spark.operators import windows as W
 from maxx_spark.operators import dedup as D
 from maxx_spark.operators import text as T
 from maxx_spark.operators import similarity as S
+from maxx_spark.operators import corpus as C
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect) — mirror the Spark expressions 1:1
 # ---------------------------------------------------------------------------
 
 NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+FPNORM = r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))"
 MD5I = "('0x' || substr(md5({x}), 1, 14))::BIGINT"
 P61 = (1 << 61) - 1
 
@@ -338,6 +340,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_source_quality": lambda s, d: T.source_quality(_t(s, d, "documents")["documents"]),
         "q44_dedup_clusters": lambda s, d: D.dedup_clusters(_t(s, d, "documents")["documents"]),
         "q45_contamination": lambda s, d: T.contamination_check(_t(s, d, "documents")["documents"]),
+        # dataset assembly: split / pack / mix / stratify
+        "q46_hash_split": lambda s, d: C.hash_split(_t(s, d, "documents")["documents"]),
+        "q47_sequence_packing": lambda s, d: C.sequence_packing(_t(s, d, "documents")["documents"]),
+        "q48_mixture_weights": lambda s, d: C.mixture_weights(_t(s, d, "documents")["documents"]),
+        "q49_quality_stratify": lambda s, d: C.quality_stratify(_t(s, d, "documents")["documents"]),
         # similarity search
         "q20_knn_bruteforce": lambda s, d: S.knn_cosine_bruteforce(_t(s, d, "embeddings")["embeddings"]),
         "q21_knn_lsh": lambda s, d: S.knn_cosine_lsh(_t(s, d, "embeddings")["embeddings"]),
@@ -835,6 +842,78 @@ WITH probes AS (
 )
 SELECT p.probe, coalesce(h.n_docs, 0) AS n_docs, h.first_doc_id
 FROM probes p LEFT JOIN hits h USING (probe) ORDER BY probe
+""",
+        # q46-q49 dataset assembly (operators/corpus.py)
+        "q46_hash_split": f"""
+WITH b AS (
+  SELECT doc_id,
+    {MD5I.format(x=FPNORM)} % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+""",
+        "q47_sequence_packing": """
+WITH t AS (
+  SELECT source, doc_id,
+    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tok
+  FROM documents
+), o AS (
+  SELECT source, doc_id, n_tok,
+    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_offset
+  FROM t
+)
+SELECT source, doc_id, n_tok, tok_offset,
+  CAST(floor(tok_offset / 256) AS BIGINT) AS seq_first,
+  CASE WHEN n_tok > 0 THEN CAST(floor((tok_offset + n_tok - 1) / 256) AS BIGINT)
+       ELSE CAST(floor(tok_offset / 256) AS BIGINT) END AS seq_last,
+  (CASE WHEN n_tok > 0
+        THEN CAST(floor((tok_offset + n_tok - 1) / 256) AS BIGINT)
+             - CAST(floor(tok_offset / 256) AS BIGINT) + 1
+        ELSE 0 END)::BIGINT AS n_seqs
+FROM o ORDER BY source, doc_id
+""",
+        "q48_mixture_weights": """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+    sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+), g AS (
+  SELECT source, n_docs, n_tokens,
+    sum(n_tokens) OVER ()::BIGINT AS total,
+    count(*) OVER ()::BIGINT AS n_src
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+  round(n_tokens::DOUBLE / total::DOUBLE, 6) AS token_share,
+  CASE WHEN n_tokens > 0 THEN round(total::DOUBLE / (n_src * n_tokens)::DOUBLE, 6)
+       ELSE 0.0 END AS weight
+FROM g ORDER BY source
+""",
+        "q49_quality_stratify": f"""
+WITH t AS (
+  SELECT lang, doc_id, string_split({NORM}, ' ') AS w,
+    length(text) AS n_char,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+), q AS (
+  SELECT lang, doc_id,
+    ((CASE WHEN len(w) >= 10 AND len(w) <= 100000 THEN 1 ELSE 0 END)
+     + (CASE WHEN (CASE WHEN len(w) > 0 THEN n_alpha::DOUBLE / len(w) ELSE 0.0 END) >= 2.0
+             AND (CASE WHEN len(w) > 0 THEN n_alpha::DOUBLE / len(w) ELSE 0.0 END) <= 12.0
+             THEN 1 ELSE 0 END)
+     + (CASE WHEN (CASE WHEN len(w) > 0 THEN len(list_filter(w, x -> x IN {en}))::DOUBLE / len(w) ELSE 0.0 END) >= 0.01
+             THEN 1 ELSE 0 END)
+     + (CASE WHEN (CASE WHEN n_char > 0 THEN n_punct::DOUBLE / n_char ELSE 0.0 END) <= 0.2
+             THEN 1 ELSE 0 END))::INTEGER AS quality
+  FROM t
+)
+SELECT lang, doc_id, quality,
+  ntile(10) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)::INTEGER AS bucket
+FROM q ORDER BY lang, doc_id
 """,
         "q20_knn_bruteforce": _knn_sql(False).replace("AS rnk", "AS rnk", 1).replace("SELECT query_id, neighbor_id, rnk FROM (", "SELECT query_id, neighbor_id, rnk::INTEGER AS rnk FROM ("),
         "q21_knn_lsh": _knn_sql(True).replace("SELECT query_id, neighbor_id, rnk FROM (", "SELECT query_id, neighbor_id, rnk::INTEGER AS rnk FROM ("),

@@ -54,6 +54,10 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q43_source_quality",
         "q44_dedup_clusters",
         "q45_contamination",
+        "q46_hash_split",
+        "q47_sequence_packing",
+        "q48_mixture_weights",
+        "q49_quality_stratify",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

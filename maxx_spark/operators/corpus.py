@@ -1,0 +1,155 @@
+"""Dataset-assembly operators: the steps between a cleaned corpus and a
+training run — deterministic split assignment, concat-and-chunk sequence
+packing, source mixture weights, and per-language quality stratification.
+
+All four are expressed as declarative DataFrame plans (no Python in the hot
+path) with exact ANSI-SQL oracles:
+
+- ``hash_split``: shuffle-free projection (one corpus scan, zero exchanges).
+- ``sequence_packing``: ONE shuffle on ``source`` + a running-sum window —
+  the minimum for deterministic packing; at corpus scale pack per
+  (source, shard) so a mega-source never serializes into one partition.
+- ``mixture_weights``: two-phase aggregate; the global stage runs over the
+  per-source rollup only (one row per source — bounded), never the corpus.
+- ``quality_stratify``: shuffle on ``lang`` (bounded cardinality) + ntile
+  sort; at corpus scale replace the full sort with approx-quantile cutoffs
+  (noted inline) — exact ntile is the oracle-checkable reference semantics.
+
+Reference parity note: the reference engine (watermarkhu/maxx) stops at
+extraction; these operators are the training-pipeline layer the brief asks
+for on top, so there is no reference file to cite — semantics are defined
+here and checked against the DuckDB oracles (q46-q49).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from maxx_spark.operators.dedup import md5i
+from maxx_spark.operators.text import quality_parts
+
+# Aggressive content normalization (same as text.fingerprint): split
+# assignment must be CONTENT-based so byte-level near-identical docs (e.g.
+# whitespace variants) land in the same split — splitting on doc_id leaks
+# duplicated content across train/test.
+def _fp_norm(text):
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "), r"\s+", " "))
+
+
+def hash_split(documents: DataFrame, train_pct: int = 90, val_pct: int = 5) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash.
+
+    bucket = md5i(normalized text) mod 100; split = train below
+    ``train_pct``, val below ``train_pct+val_pct``, else test. Stable under
+    corpus growth (a doc's split never changes when other docs are added),
+    reproducible across engines (md5-prefix integer hash), and content-keyed
+    so exact dupes can't straddle the eval boundary. Pure projection —
+    whole-stage-codegen, no shuffle, linear at any scale.
+    """
+    bucket = (md5i(_fp_norm(F.col("text"))) % 100).alias("bucket")
+    split = (
+        F.when(F.col("bucket") < train_pct, F.lit("train"))
+        .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split")
+    )
+    return documents.select("doc_id", bucket).select("doc_id", "bucket", split).orderBy("doc_id")
+
+
+def sequence_packing(documents: DataFrame, budget: int = 256) -> DataFrame:
+    """Concat-and-chunk sequence packing: per source, documents concatenated
+    in doc_id order and chunked into fixed ``budget``-token training
+    sequences (the standard causal-LM packing scheme — documents may span a
+    chunk boundary).
+
+    Emits, per document: its token count (regex word tokens — the engine's
+    BPE-ish pre-tokenizer split), its starting token offset in the source
+    stream, and the first/last sequence index it lands in plus the span
+    count. Plan: one exchange on ``source`` + a running-sum window
+    (UNBOUNDED PRECEDING .. 1 PRECEDING) — Spark computes it in a single
+    sort-based window pass. At 100 TB the packing key should be
+    (source, shard) where shard = doc_id DIV k, which bounds every window
+    partition while keeping offsets exact within a shard.
+    """
+    n_tok = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    base = documents.select("source", "doc_id", n_tok.alias("n_tok"))
+    off = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    out = base.select("source", "doc_id", "n_tok", off.alias("tok_offset"))
+    seq_first = F.floor(F.col("tok_offset") / F.lit(budget)).cast("long")
+    seq_last = F.when(
+        F.col("n_tok") > 0,
+        F.floor((F.col("tok_offset") + F.col("n_tok") - 1) / F.lit(budget)),
+    ).otherwise(seq_first).cast("long")
+    return (
+        out.select(
+            "source",
+            "doc_id",
+            "n_tok",
+            "tok_offset",
+            seq_first.alias("seq_first"),
+            seq_last.alias("seq_last"),
+            F.when(F.col("n_tok") > 0, seq_last - seq_first + 1).otherwise(F.lit(0)).cast("long").alias("n_seqs"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+def mixture_weights(documents: DataFrame) -> DataFrame:
+    """Per-source sampling weights that rebalance the corpus toward a
+    UNIFORM token mixture across sources (the static-reweighting baseline of
+    data-mixture methods): weight(s) = total_tokens / (n_sources *
+    tokens(s)) — sampling source s with probability proportional to
+    weight(s)·tokens(s) draws equal token mass from every source.
+
+    Two-phase plan: a map-side-combining groupBy(source) over the corpus,
+    then the global total/count computed by a window over the ROLLUP table
+    (one row per source — bounded cardinality, so the single-partition
+    window stage touches kilobytes, never the corpus). Shares/weights are
+    single IEEE-double divisions of exact integers (bit-identical in any
+    engine), rounded once for display.
+    """
+    n_tok = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)).cast("long")
+    per = documents.select("source", n_tok.alias("t")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("n_tokens")
+    )
+    wall = Window.partitionBy()
+    total = F.sum("n_tokens").over(wall)
+    n_src = F.count(F.lit(1)).over(wall)
+    return (
+        per.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / total.cast("double"), 6).alias("token_share"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(total.cast("double") / (n_src * F.col("n_tokens")).cast("double"), 6),
+            ).otherwise(F.lit(0.0)).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def quality_stratify(documents: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Per-language quality stratification: every document gets an ntile
+    bucket (1 = best) within its language, ranked by the engine's quality
+    composite (descending) with doc_id as the deterministic tie-break —
+    the selection primitive behind "keep the top decile per language".
+
+    Plan: one corpus scan computing the composite (shared expression with
+    quality_score — one definition, one oracle mirror), one exchange on
+    ``lang`` (bounded cardinality), one sort per partition for ntile.
+    Exact ntile is the reference semantics the oracle can check; at corpus
+    scale swap the full per-language sort for approxQuantile cutoffs over
+    the composite (same buckets up to quantile-sketch error, no global
+    sort) — the expression layer is unchanged by that substitution.
+    """
+    q = quality_parts(F.col("text"))["composite"]
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        documents.select("lang", "doc_id", q.alias("quality"))
+        .select("lang", "doc_id", "quality", F.ntile(n_buckets).over(w).alias("bucket"))
+        .orderBy("lang", "doc_id")
+    )

@@ -55,13 +55,10 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
-    """Length / punctuation / stopword quality components + composite.
-
-    Components are integer or exactly-derived ratios rounded once at the
-    end, so the oracle matches bit-for-bit.
-    """
-    text = F.col("text")
+def quality_parts(text):
+    """Shared quality components over a text column — returned as a dict of
+    Columns so quality_score / source_quality / quality_stratify compute the
+    SAME expressions (one definition, three oracles mirror it)."""
     toks = _tok(text)
     n_tok = F.size(toks)
     n_char = F.length(text)
@@ -78,6 +75,26 @@ def quality_score(documents: DataFrame) -> DataFrame:
         + F.when(stop_ratio >= 0.01, F.lit(1)).otherwise(F.lit(0))
         + F.when(punct_ratio <= 0.2, F.lit(1)).otherwise(F.lit(0))
     )
+    return {
+        "n_tok": n_tok,
+        "n_char": n_char,
+        "mean_wl": mean_wl,
+        "stop_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "composite": composite,
+    }
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword quality components + composite.
+
+    Components are integer or exactly-derived ratios rounded once at the
+    end, so the oracle matches bit-for-bit.
+    """
+    p = quality_parts(F.col("text"))
+    n_tok, n_char = p["n_tok"], p["n_char"]
+    mean_wl, stop_ratio, punct_ratio = p["mean_wl"], p["stop_ratio"], p["punct_ratio"]
+    composite = p["composite"]
     return documents.select(
         "doc_id",
         n_tok.alias("n_tokens"),
@@ -313,22 +330,7 @@ def source_quality(documents: DataFrame) -> DataFrame:
     cardinality = number of crawl sources). Mean aggregates the integer
     composite in DECIMAL and rounds once, so the oracle matches exactly."""
     text = F.col("text")
-    toks = _tok(text)
-    n_tok = F.size(toks)
-    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
-    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    n_char = F.length(text)
-    en = STOPWORDS["en"]
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*en)))
-    mean_wl = F.when(n_tok > 0, n_alpha.cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_char > 0, n_punct.cast("double") / n_char.cast("double")).otherwise(F.lit(0.0))
-    composite = (
-        F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1)).otherwise(F.lit(0))
-        + F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), F.lit(1)).otherwise(F.lit(0))
-        + F.when(stop_ratio >= 0.01, F.lit(1)).otherwise(F.lit(0))
-        + F.when(punct_ratio <= 0.2, F.lit(1)).otherwise(F.lit(0))
-    )
+    composite = quality_parts(text)["composite"]
     norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "), r"\s+", " "))
     wordish = F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+"), 0))
     return (
