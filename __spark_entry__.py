@@ -345,6 +345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_sequence_packing": lambda s, d: C.sequence_packing(_t(s, d, "documents")["documents"]),
         "q48_mixture_weights": lambda s, d: C.mixture_weights(_t(s, d, "documents")["documents"]),
         "q49_quality_stratify": lambda s, d: C.quality_stratify(_t(s, d, "documents")["documents"]),
+        "q50_segment_dedup": lambda s, d: D.segment_dedup(_t(s, d, "documents")["documents"]),
+        "q51_mixture_sample": lambda s, d: C.mixture_sample(_t(s, d, "documents")["documents"]),
+        "q52_shard_assignment": lambda s, d: C.shard_assignment(_t(s, d, "documents")["documents"]),
         # similarity search
         "q20_knn_bruteforce": lambda s, d: S.knn_cosine_bruteforce(_t(s, d, "embeddings")["embeddings"]),
         "q21_knn_lsh": lambda s, d: S.knn_cosine_lsh(_t(s, d, "embeddings")["embeddings"]),
@@ -914,6 +917,51 @@ WITH t AS (
 SELECT lang, doc_id, quality,
   ntile(10) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)::INTEGER AS bucket
 FROM q ORDER BY lang, doc_id
+""",
+        # q50-q52 (operators/dedup.segment_dedup, corpus.mixture_sample/shard_assignment)
+        "q50_segment_dedup": f"""
+WITH w AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS wa FROM documents
+), seg AS (
+  SELECT doc_id, array_to_string(wa[(i*10+1):(i*10+10)], ' ') AS segment
+  FROM (SELECT doc_id, wa, unnest(generate_series(0, (len(wa) // 10)::BIGINT - 1)) AS i FROM w)
+), occ AS (
+  SELECT doc_id, (CASE WHEN count(*) OVER (PARTITION BY segment) > 1 THEN 1 ELSE 0 END) AS is_dup
+  FROM seg
+)
+SELECT doc_id, count(*)::BIGINT AS n_segments, sum(is_dup)::BIGINT AS n_dup_segments,
+  round(sum(is_dup)::DOUBLE / count(*)::DOUBLE, 6) AS dup_fraction
+FROM occ GROUP BY doc_id ORDER BY doc_id
+""",
+        "q51_mixture_sample": f"""
+WITH per AS (
+  SELECT source, sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+), g AS (
+  SELECT source,
+    CASE WHEN n_tokens > 0
+         THEN (sum(n_tokens) OVER ())::DOUBLE / ((count(*) OVER ()) * n_tokens)::DOUBLE
+         ELSE 0.0 END AS w
+  FROM per
+)
+SELECT d.doc_id, d.source,
+  (CAST(floor(w) AS BIGINT)
+   + CASE WHEN ({MD5I.format(x="d.doc_id::VARCHAR || ':epoch0'")} % 1000000)
+               < CAST(round((w - floor(w)) * 1000000.0) AS BIGINT)
+          THEN 1 ELSE 0 END)::BIGINT AS n_copies
+FROM documents d JOIN g USING (source)
+ORDER BY d.doc_id
+""",
+        "q52_shard_assignment": f"""
+WITH per AS (
+  SELECT ({MD5I.format(x=FPNORM)} % 16)::INTEGER AS shard,
+    count(*) AS n_docs,
+    sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1
+)
+SELECT shard, n_docs, n_tokens,
+  round(n_tokens::DOUBLE / (sum(n_tokens) OVER ())::DOUBLE, 6) AS token_share
+FROM per ORDER BY shard
 """,
         "q20_knn_bruteforce": _knn_sql(False).replace("AS rnk", "AS rnk", 1).replace("SELECT query_id, neighbor_id, rnk FROM (", "SELECT query_id, neighbor_id, rnk::INTEGER AS rnk FROM ("),
         "q21_knn_lsh": _knn_sql(True).replace("SELECT query_id, neighbor_id, rnk FROM (", "SELECT query_id, neighbor_id, rnk::INTEGER AS rnk FROM ("),

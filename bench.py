@@ -58,6 +58,9 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q47_sequence_packing",
         "q48_mixture_weights",
         "q49_quality_stratify",
+        "q50_segment_dedup",
+        "q51_mixture_sample",
+        "q52_shard_assignment",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

@@ -132,6 +132,76 @@ def mixture_weights(documents: DataFrame) -> DataFrame:
     )
 
 
+def mixture_sample(documents: DataFrame, salt: str = "epoch0") -> DataFrame:
+    """Epoch materialization under the uniform-mixture weights: every
+    document gets a deterministic replication count ``n_copies`` with
+    E[n_copies] = weight(source), so one materialized epoch carries equal
+    expected token mass per source — floor(weight) guaranteed copies plus
+    one Bernoulli(frac(weight)) copy decided by a salted content-free hash
+    (md5i of "doc_id:salt" — changing the salt resamples the fractional
+    copies, re-running with the same salt is byte-stable).
+
+    Plan: corpus-scan rollup to the per-source weight table (bounded — one
+    row per source) joined back WITHOUT a broadcast hint (AQE broadcasts it
+    at runtime when it is actually small), then a pure projection for the
+    hash draw. The weight arithmetic is single IEEE-double division of
+    exact integers, so floor/frac are bit-identical in any engine.
+    """
+    n_tok = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)).cast("long")
+    per = documents.select("source", n_tok.alias("t")).groupBy("source").agg(
+        F.sum("t").alias("n_tokens")
+    )
+    wall = Window.partitionBy()
+    weight = F.when(
+        F.col("n_tokens") > 0,
+        F.sum("n_tokens").over(wall).cast("double")
+        / (F.count(F.lit(1)).over(wall) * F.col("n_tokens")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    wtab = per.select("source", weight.alias("__w"))
+    draw = md5i(F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))) % F.lit(1_000_000)
+    frac = F.col("__w") - F.floor(F.col("__w"))
+    n_copies = (
+        F.floor(F.col("__w")).cast("long")
+        + F.when(draw < F.round(frac * F.lit(1_000_000.0)).cast("long"), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        documents.select("doc_id", "source")
+        .join(wtab, "source")
+        .select("doc_id", "source", n_copies.cast("long").alias("n_copies"))
+        .orderBy("doc_id")
+    )
+
+
+def shard_assignment(documents: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Token-balanced output sharding: content-hash documents into
+    ``n_shards`` write buckets and report each shard's document count,
+    token mass, and share — the balance check before a bucketed/partitioned
+    dataset write (balanced shards ⇒ no straggler writer, uniform file
+    sizes). Content (not doc_id) keyed, so re-crawled duplicates land in
+    the same shard and a later per-shard dedup stays local.
+
+    Plan: pure projection for the shard key, one map-side-combining
+    groupBy(shard) — the global share stage runs over n_shards rows only.
+    """
+    n_tok = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)).cast("long")
+    shard = (md5i(_fp_norm(F.col("text"))) % n_shards).cast("int")
+    per = (
+        documents.select(shard.alias("shard"), n_tok.alias("t"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("n_tokens"))
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return (
+        per.select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / total.cast("double"), 6).alias("token_share"),
+        )
+        .orderBy("shard")
+    )
+
+
 def quality_stratify(documents: DataFrame, n_buckets: int = 10) -> DataFrame:
     """Per-language quality stratification: every document gets an ntile
     bucket (1 = best) within its language, ranked by the engine's quality

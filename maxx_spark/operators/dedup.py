@@ -342,6 +342,54 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
 
 
+def segment_dedup(documents: DataFrame, k: int = 10) -> DataFrame:
+    """CCNet-style sub-document dedup rollup: each document is cut into
+    consecutive non-overlapping ``k``-word segments (the line/paragraph
+    analogue for boundary-free web text); a segment is DUPLICATED when its
+    normalized text occurs more than once corpus-wide. Emits, per document:
+    segment count, duplicated-segment count, and the fraction of segments a
+    line-dedup pass would drop — the per-doc signal CCNet thresholds on.
+
+    Plan: segments build locally (element_at composition — no per-position
+    array copies, no Python), global occurrence counts via ONE count-window
+    exchange on the segment text (the same partitioning-reuse shape as
+    _capped_shingles), then a groupBy(doc_id) rollup. Two exchanges total,
+    both on uniform keys; at 100 TB hash the segment to a 56-bit int for
+    the exchange key and salt any viral boilerplate segment (df-cap logic
+    as in _capped_shingles) — the rollup is unchanged.
+    """
+    from pyspark.sql import Window
+
+    d = documents.select("doc_id", F.split(normalized(F.col("text")), " ").alias("__w"))
+    w = F.col("__w")
+    n_seg = F.floor(F.size(w) / F.lit(k)).cast("int")
+    idx = F.when(n_seg >= 1, F.sequence(F.lit(0), n_seg - 1)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    seg = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i * k + j + 1) for j in range(k)])
+    )
+    segs = d.select("doc_id", F.explode(seg).alias("segment"))
+    occ = F.count(F.lit(1)).over(Window.partitionBy("segment"))
+    per_seg = segs.select("doc_id", (occ > 1).cast("int").alias("is_dup"))
+    return (
+        per_seg.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("is_dup").alias("n_dup_segments"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_dup_segments",
+            F.round(
+                F.col("n_dup_segments").cast("double") / F.col("n_segments").cast("double"), 6
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def simhash32(documents: DataFrame) -> DataFrame:
     """32-bit SimHash per document from word-token md5i hashes.
 

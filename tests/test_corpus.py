@@ -102,6 +102,71 @@ def test_mixture_weights_rebalance_to_uniform(spark):
     assert abs(masses[0] - 100 / 3) < 1e-3
 
 
+def test_segment_dedup_counts_and_short_docs(spark):
+    """Docs sharing a segment-aligned 10-word run are flagged; fractions
+    are exact; sub-k docs emit no row (zero segments)."""
+    from maxx_spark.operators.dedup import segment_dedup
+
+    shared = " ".join(f"s{i}" for i in range(10))          # one shared segment
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        (0, shared + " " + uniq("a", 10), "en", "x"),      # seg0 shared, seg1 unique
+        (1, shared + " " + uniq("b", 10), "en", "x"),      # seg0 shared, seg1 unique
+        (2, uniq("c", 25), "en", "x"),                     # 2 segments, none shared
+        (3, uniq("d", 7), "en", "x"),                      # < 10 words -> no row
+    ]
+    out = {r["doc_id"]: r for r in segment_dedup(_docs(spark, rows), k=10).collect()}
+    assert set(out) == {0, 1, 2}
+    for i in (0, 1):
+        assert (out[i]["n_segments"], out[i]["n_dup_segments"]) == (2, 1)
+        assert out[i]["dup_fraction"] == 0.5
+    assert (out[2]["n_segments"], out[2]["n_dup_segments"]) == (2, 0)
+
+
+def test_mixture_sample_replication_counts(spark):
+    """floor(weight) copies are guaranteed; the fractional copy is a salted
+    hash draw — deterministic under the same salt, E[n_copies]=weight at the
+    source level. Weights chosen exactly representable: A=0.5 -> {0,1},
+    B=1.5 -> {1,2}."""
+    from maxx_spark.operators.corpus import mixture_sample
+
+    # tokens: A=30, B=10 -> total=40, n_src=2 -> wA=40/60=2/3... use exact:
+    # A=20, B=... want wA=0.5: total/(2*tA)=0.5 -> total=tA -> tB=0. Use
+    # 3 sources: tA=30, tB=10, tC=20 -> total=60, wA=60/90=2/3 (inexact but
+    # floor/frac still deterministic). Simplest exact: tA=40, tB=10 ->
+    # total=50, wA=50/80=0.625, wB=50/20=2.5 — both dyadic-exact.
+    rows = (
+        [(i, " ".join(["tok"] * 8), "en", "A") for i in range(5)]       # 5*8=40 tokens
+        + [(10 + i, " ".join(["tok"] * 5), "en", "B") for i in range(2)]  # 2*5=10
+    )
+    out = {r["doc_id"]: r for r in mixture_sample(_docs(spark, rows)).collect()}
+    assert all(out[i]["n_copies"] in (0, 1) for i in range(5))          # wA=0.625
+    assert all(out[10 + i]["n_copies"] in (2, 3) for i in range(2))     # wB=2.5
+    again = {r["doc_id"]: r["n_copies"] for r in mixture_sample(_docs(spark, rows)).collect()}
+    assert again == {k: v["n_copies"] for k, v in out.items()}
+    diff = {r["doc_id"]: r["n_copies"] for r in mixture_sample(_docs(spark, rows), salt="epoch1").collect()}
+    assert set(diff) == set(again)  # same docs either way
+
+
+def test_shard_assignment_content_keyed_balance(spark):
+    """Shards are in range, shares sum to 1, and byte-variant duplicates
+    hash to the SAME shard (content-keyed)."""
+    from maxx_spark.operators.corpus import hash_split, shard_assignment
+
+    rows = [(i, f"document body number {i} with words {i * 3}", "en", "s") for i in range(40)]
+    rows += [(100, "The Quick  Brown FOX", "en", "s"), (101, "the quick brown fox!!", "en", "s")]
+    out = shard_assignment(_docs(spark, rows), n_shards=8).collect()
+    assert all(0 <= r["shard"] < 8 for r in out)
+    assert abs(sum(r["token_share"] for r in out) - 1.0) < 1e-5
+    assert sum(r["n_docs"] for r in out) == 42
+    # content-keyed: the two fox variants contribute to one shard together —
+    # remove them and exactly ONE shard's n_docs drops by 2
+    base = {r["shard"]: r["n_docs"] for r in shard_assignment(_docs(spark, rows[:-2]), n_shards=8).collect()}
+    cur = {r["shard"]: r["n_docs"] for r in out}
+    drops = [s for s in cur if cur[s] - base.get(s, 0) != 0]
+    assert len(drops) == 1 and cur[drops[0]] - base.get(drops[0], 0) == 2
+
+
 def test_quality_stratify_ntile_fairness(spark):
     """Within each language: bucket sizes differ by <=1, buckets are
     contiguous under the (quality desc, doc_id) order, and bucket 1 holds
