@@ -217,6 +217,13 @@ _PRAGMAS = frozenset(
 
 
 def _dedent_lines(lst: list[str]) -> list[str]:
+    # single-line fast path, byte-identical to dedent: the margin of one
+    # line is its entire leading [ \t] run, and dedent normalizes a
+    # [ \t]-only line to '' — both are exactly lstrip(" \t"). Skips the
+    # join/dedent/split round-trip for the hot call shape (per-item
+    # docstrings are overwhelmingly one comment line).
+    if len(lst) == 1:
+        return [lst[0].lstrip(" \t")]
     return textwrap.dedent("\n".join(lst)).split("\n")
 
 
@@ -412,10 +419,13 @@ _CLASSDEF_RE = re.compile(
 _BLOCK_HEADER_RE = re.compile(r"^\s*(\w+)\s*(?:\(([^)]*)\))?\s*$")
 
 
+_IDENT_FULL_RE = re.compile(r"[A-Za-z_]\w*")
+
+
 def _idents(csv: str | None) -> list[str]:
     if not csv:
         return []
-    return [p.strip() for p in csv.split(",") if re.fullmatch(r"[A-Za-z_]\w*", p.strip())]
+    return [p.strip() for p in csv.split(",") if _IDENT_FULL_RE.fullmatch(p.strip())]
 
 
 def _parse_attrs(attr_csv: str | None) -> list[tuple[str, object]]:
@@ -447,6 +457,8 @@ def _access(value: object) -> str:
 
 
 _PROP_NAME_RE = re.compile(r"^\s*([A-Za-z_]\w*)(?:\s*\.\s*([A-Za-z_]\w*))?")
+_DIGITS_RE = re.compile(r"\d+")
+_TYPE_RE = re.compile(r"[A-Za-z_][\w.]*")
 
 
 def _parse_property_item(code: str) -> dict | None:
@@ -483,14 +495,14 @@ def _parse_property_item(code: str) -> dict | None:
         dims = []
         for tok in dims_src.split(","):
             tok = tok.strip()
-            if re.fullmatch(r"\d+", tok) or tok == ":":
+            if _DIGITS_RE.fullmatch(tok) or tok == ":":
                 dims.append(tok)
         out["dimensions"] = dims or None
         i = skip_ws(j)
-    m2 = re.match(r"[A-Za-z_][\w.]*", rest[i:])
+    m2 = _TYPE_RE.match(rest, i)  # pos-anchored: no rest[i:] copy per item
     if m2:
         out["type"] = m2.group(0)
-        i = skip_ws(i + m2.end())
+        i = skip_ws(m2.end())
     if i < n and rest[i] == "{":
         d, j = 1, i + 1
         while j < n and d:
