@@ -79,7 +79,7 @@ class MUnit:
 # ---------------------------------------------------------------------------
 
 
-@dataclass
+@dataclass(slots=True)
 class Line:
     i: int  # 1-based
     raw: str
@@ -301,13 +301,17 @@ _STRUCTURAL = frozenset(
 )
 
 _WORD_RE = re.compile(r"[A-Za-z_]\w*")
+# statement-tokenizer stream for _block_tree: a word, ONE bracket/separator
+# char (depth and ';,' logic is per char), or a RUN of any other non-space
+# chars (which can only set stmt_start=False) — whitespace is skipped
+_TOK_RE = re.compile(r"[A-Za-z_]\w*|[()\[\]{};,]|[^\sA-Za-z_()\[\]{};,]+")
 _KW_RE = re.compile(
     r"\b(?:if|for|while|switch|try|parfor|spmd|function|classdef|arguments"
     r"|properties|methods|enumeration|events|end)\b"
 )
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     kw: str
     start: int  # line of the opening keyword
@@ -355,40 +359,40 @@ def _block_tree(lines: list[Line]) -> list[Block]:
             stmt_start = not ln.continues
             i += 1
             continue
-        pos = 0
-        while pos < len(code):
-            m = _WORD_RE.search(code, pos)
-            seg_end = m.start() if m else len(code)
-            for k in range(pos, seg_end):
-                c = code[k]
-                if c in "([{":
-                    depth += 1
-                    stmt_start = False
-                elif c in ")]}":
-                    depth = max(0, depth - 1)
-                    stmt_start = False
-                elif c in ";,":
-                    if depth == 0:
-                        stmt_start = True
-                elif not c.isspace():
-                    stmt_start = False
-            if not m:
-                break
-            word = m.group(0)
-            if depth == 0 and stmt_start:
-                if word in _OPENERS:
-                    # capture full header (resolve continuations)
-                    header = lines[j].code
-                    jj = j
-                    while lines[jj].continues and jj + 1 <= len(lines) - 1:
-                        jj += 1
-                        header = header.rstrip() + " " + lines[jj].code.lstrip()
-                    stack.append(Block(word, ln.i, ln.i, header))
-                elif word == "end":
-                    if stack:
-                        close(stack.pop(), ln.i)
-            stmt_start = False
-            pos = m.end()
+        # single compiled-regex token stream instead of a per-char loop:
+        # word | open-bracket | close-bracket | ;, | any other non-space
+        # RUN. A run of "other" chars (no words/brackets/separators by the
+        # character class) only ever sets stmt_start=False, so collapsing
+        # it to one token is exact; whitespace changes nothing in either
+        # form and is skipped entirely.
+        for m in _TOK_RE.finditer(code):
+            tok = m.group(0)
+            c0 = tok[0]
+            if c0 in "([{":
+                depth += 1
+                stmt_start = False
+            elif c0 in ")]}":
+                depth = max(0, depth - 1)
+                stmt_start = False
+            elif c0 in ";,":
+                if depth == 0:
+                    stmt_start = True
+            elif c0.isalpha() or c0 == "_":
+                if depth == 0 and stmt_start:
+                    if tok in _OPENERS:
+                        # capture full header (resolve continuations)
+                        header = lines[j].code
+                        jj = j
+                        while lines[jj].continues and jj + 1 <= len(lines) - 1:
+                            jj += 1
+                            header = header.rstrip() + " " + lines[jj].code.lstrip()
+                        stack.append(Block(tok, ln.i, ln.i, header))
+                    elif tok == "end":
+                        if stack:
+                            close(stack.pop(), ln.i)
+                stmt_start = False
+            else:
+                stmt_start = False
         if not ln.continues:
             stmt_start = True
         i += 1
