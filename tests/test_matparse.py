@@ -328,3 +328,52 @@ def test_docstring_sections_on_ref_corpus(ref_files):
     secs = dict(docstring_sections(m.docstring.value))
     assert "parameters" in secs and "x (double)" in secs["parameters"]
     assert "returns" in secs
+
+
+# -- statement-tokenizer edge cases (locks the _TOK_RE stream scanner) ------
+
+
+def test_end_inside_brackets_is_index_not_closer():
+    """'end' used as an array index (inside () or {}) must not close the
+    enclosing block; ',' inside brackets must not start a statement."""
+    src = (
+        "function y = f(x)\n"
+        "y = x(end, 1) + x(2, end);\n"
+        "z = {x(end), 3};\n"
+        "if numel(x) > 1, y = y + z{end}; end\n"
+        "end\n"
+    )
+    m = parse_mfile(src, "f")
+    assert m.kind == "function"
+    assert m.name == "f"
+    assert m.lineno == 1 and m.endlineno == 5  # outer end matched, not eaten
+
+
+def test_separator_at_depth_restarts_statement():
+    """After ';' or ',' at depth 0 a keyword opens a block; mid-expression
+    words that merely CONTAIN digits/letters around keywords do not."""
+    src = (
+        "function g()\n"
+        "a = 1; if a > 0\n"
+        "b = trend(a);\n"   # 'trend' contains 'end' but is one word
+        "end\n"
+        "for k = 1:3, c(k) = k; end\n"
+        "end\n"
+    )
+    m = parse_mfile(src, "g")
+    assert m.kind == "function"
+    assert m.endlineno == 6
+
+
+def test_keyword_not_at_statement_start_is_identifier():
+    """'properties' / 'methods' as plain identifiers (rhs of an assignment
+    or argument) must not open blocks."""
+    src = (
+        "function h()\n"
+        "x = properties struct\n"      # command-syntax-ish rhs words
+        "y = foo(methods, events);\n"
+        "end\n"
+    )
+    m = parse_mfile(src, "h")
+    assert m.kind == "function"
+    assert m.endlineno == 4
