@@ -132,3 +132,34 @@ def test_builtin_expr_links_broadcast(spark):
     s = plan_summary(df)
     assert s["broadcast_joins"] >= 1
     assert s["sort_merge_joins"] == 0
+
+
+def test_corpus_assembly_plan_shapes(spark, sf_dir):
+    """q46-q52 plan gates: hash_split is a pure projection (zero exchanges);
+    the new corpus/dedup operators carry no broadcast hints (their joins are
+    per-source rollups or window passes — AQE may broadcast at runtime, a
+    hint must not force it at corpus scale)."""
+    from maxx_spark.operators import corpus as C
+    from maxx_spark.operators import dedup as D
+    from maxx_spark.plans import broadcast_hint_count, plan_summary
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    for df in (
+        C.hash_split(docs),
+        C.sequence_packing(docs),
+        C.mixture_weights(docs),
+        C.mixture_sample(docs),
+        C.shard_assignment(docs),
+        C.quality_stratify(docs),
+        D.segment_dedup(docs),
+    ):
+        assert broadcast_hint_count(df) == 0
+    # hash_split: scan -> project (-> display sort); no shuffle other than
+    # the final orderBy range exchange
+    s = plan_summary(C.hash_split(docs))
+    assert s["shuffles"] <= 1
+    assert s["python_stages"] == 0
+    # segment_dedup: segment count-window + doc rollup + display sort only
+    s2 = plan_summary(D.segment_dedup(docs))
+    assert s2["shuffles"] <= 3
+    assert s2["python_stages"] == 0
