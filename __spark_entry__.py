@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_asof_join": lambda s, d: _q_asof(s, d),
         "q28_range_join_bands": lambda s, d: _q_bands(s, d),
         "q29_funnel_counts": lambda s, d: _q_funnel(s, d),
+        "q53_cohort_retention": lambda s, d: W.cohort_retention(_t(s, d, "events")["events"]),
         # embedding near-dup: exact blocked-GEMM + high-threshold LSH path
         "q30_cosine_near_dup": lambda s, d: S.cosine_near_dup_pairs(_t(s, d, "embeddings")["embeddings"]),
         "q36_cosine_near_dup_lsh": lambda s, d: S.cosine_near_dup_lsh(_t(s, d, "embeddings")["embeddings"]),
@@ -1084,6 +1085,18 @@ SELECT user_id, count(*) AS n_funnels
 FROM (SELECT * FROM joined WHERE c_ts IS NOT NULL)
 WHERE c_ts >= p_ts - INTERVAL 10 MINUTE
 GROUP BY 1 ORDER BY 1
+""",
+        # q53 (operators/windows.cohort_retention)
+        "q53_cohort_retention": """
+WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT f.cohort_week, a.active_week, count(*)::BIGINT AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "q30_cosine_near_dup": """
 WITH n AS (

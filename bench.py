@@ -61,6 +61,7 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q50_segment_dedup",
         "q51_mixture_sample",
         "q52_shard_assignment",
+        "q53_cohort_retention",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

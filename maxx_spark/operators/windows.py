@@ -141,3 +141,27 @@ def salted_agg(events: DataFrame, n_salt: int = 16) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Classic retention cohorts: users bucketed by the week of their FIRST
+    event; n_users = distinct users from cohort c active in week w — the
+    (cohort_week, active_week) matrix behind every retention curve.
+
+    Plan: one uniform groupBy(user_id) for first-seen (map-side combining),
+    one distinct over (user_id, week) — both shuffle on user_id, so the
+    cohort⨝activity join reuses that partitioning; the final rollup groups
+    on bounded (week, week) keys. No skew risk: user_id is the shuffle key
+    throughout, and date_trunc is monotone so trunc(min(ts)) ≡
+    min(trunc(ts)) — mirrored verbatim in the oracle.
+    """
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = events.select("user_id", F.date_trunc("week", F.col("ts")).alias("active_week")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "active_week")
+    )

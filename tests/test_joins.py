@@ -82,3 +82,29 @@ def test_searchpath_precedence(spark):
         (F.col("unit_path") == "accumulate") & (F.col("kind") == "function")
     ).first()
     assert "/subdir/" not in win["url"]
+
+
+def test_cohort_retention_matrix(spark):
+    """Hand-built two-week cohort: users first seen in week A or week B;
+    the (cohort, active) matrix counts distinct users, and trunc(min) ≡
+    min(trunc) (a user's first partial week anchors their cohort)."""
+    from maxx_spark.operators.windows import cohort_retention
+
+    def t(day, hour=12):
+        return dt.datetime(2024, 1, day, hour)  # 2024-01-01 is a Monday
+
+    rows = [
+        # u1: first event wk1, active wk1+wk2 (two events in wk2 -> still 1 user)
+        (1, t(2), 10.0), (1, t(9), 10.0), (1, t(10), 10.0),
+        # u2: first event wk1 only
+        (2, t(3), 10.0),
+        # u3: first event wk2 only
+        (3, t(8), 10.0),
+    ]
+    events = spark.createDataFrame(
+        [(i, ts, uid, "click", v, "{}") for i, (uid, ts, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {(r["cohort_week"], r["active_week"]): r["n_users"] for r in cohort_retention(events).collect()}
+    wk1, wk2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8)
+    assert out == {(wk1, wk1): 2, (wk1, wk2): 1, (wk2, wk2): 1}
