@@ -1,0 +1,137 @@
+"""Streaming corpus ingestion: the training-data pipeline's batch operators
+(quality gate, exact dedup, content-hash split) composed over a continuous
+documents stream with the engine's watermark + exactly-once machinery —
+the axes-A+B integration path: a crawl feed lands deduplicated,
+quality-filtered, split-labelled, exactly once.
+
+Stage order is dictated by the engine invariants:
+
+1. quality/lang filters FIRST — they are stateless row predicates, and the
+   repo invariant forbids any filter between ``withWatermark`` and a
+   stateful operator (Catalyst would push it below the watermark node and
+   freeze the event-time clock).
+2. ``withWatermark`` then ``dropDuplicatesWithinWatermark`` on the content
+   hash — the streaming form of ``operators.dedup.exact_dedup``: state
+   holds one entry per distinct hash inside the watermark horizon, so
+   re-crawled duplicates are dropped without unbounded state. Unlike the
+   batch operator (min doc_id canonical), the survivor is the FIRST
+   ARRIVAL — content-keyed downstream columns (bucket, split) are
+   identical for any survivor, which is what tests assert.
+3. ``hash_split`` bucket/split projection — stateless, content-keyed, so a
+   doc's split never depends on arrival order or corpus growth.
+4. ``ExactlyOnceParquetSink`` keyed on ``crawl_ts`` — idempotent commit
+   markers, per-partition footer lineage, DLQ; replays after restart are
+   skipped (same guarantees as the extraction pipeline, test_streaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maxx_spark.operators.corpus import _fp_norm
+from maxx_spark.operators.dedup import md5i, normalized
+from maxx_spark.operators.text import quality_parts
+from maxx_spark.streaming.sink import ExactlyOnceParquetSink
+
+DOCS_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long, "
+    "crawl_ts timestamp"
+)
+
+
+def documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    r = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.parquet(path)
+
+
+def stage_documents_dir(
+    spark: SparkSession,
+    out_dir: str,
+    sf_dir: str,
+    n_chunks: int = 3,
+    n_dupes: int = 50,
+) -> int:
+    """Stage the sf documents table as a timestamped parquet stream source:
+    crawl_ts = epoch-2024 + doc_id seconds (deterministic), plus ``n_dupes``
+    re-crawls of the first docs (new doc_id, +30 s crawl_ts, same text —
+    inside the dedup watermark). Written as ``n_chunks`` files = micro-batch
+    boundaries. Returns total staged rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+    base = docs.select("doc_id", "text", "lang", "source", "n_chars", ts.alias("crawl_ts"))
+    dup = (
+        docs.orderBy("doc_id")
+        .limit(n_dupes)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+            F.timestamp_seconds(F.lit(1704067200 + 30) + F.col("doc_id")).alias("crawl_ts"),
+        )
+    )
+    staged = base.unionByName(dup)
+    staged.repartition(n_chunks).write.mode("overwrite").parquet(out_dir)
+    return staged.count()
+
+
+def corpus_ingest(
+    docs: DataFrame,
+    min_quality: int = 3,
+    delay: str = "10 minutes",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """The transformation stage (stream- AND batch-applicable: pass a batch
+    DataFrame to get the deterministic batch mirror, using dropDuplicates
+    semantics on the same hash)."""
+    q = quality_parts(F.col("text"))["composite"]
+    filtered = docs.where(q >= F.lit(min_quality)).withColumn(
+        "text_hash", F.md5(normalized(F.col("text")))
+    )
+    if filtered.isStreaming:
+        deduped = filtered.withWatermark("crawl_ts", delay).dropDuplicatesWithinWatermark(
+            ["text_hash"]
+        )
+    else:
+        deduped = filtered.dropDuplicates(["text_hash"])
+    bucket = (md5i(_fp_norm(F.col("text"))) % 100).alias("bucket")
+    split = (
+        F.when(F.col("bucket") < train_pct, F.lit("train"))
+        .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split")
+    )
+    return deduped.select(
+        "doc_id", "text_hash", "lang", "source", "crawl_ts", bucket
+    ).select("doc_id", "text_hash", "lang", "source", "crawl_ts", "bucket", split)
+
+
+def corpus_ingest_query(
+    spark: SparkSession,
+    src: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    min_quality: int = 3,
+    delay: str = "10 minutes",
+):
+    """documents stream → quality gate → watermarked streaming dedup →
+    split labelling → exactly-once sink. Returns (StreamingQuery, sink)."""
+    docs = documents_stream(spark, src, max_files_per_trigger)
+    out = corpus_ingest(docs, min_quality=min_quality, delay=delay)
+    sink = ExactlyOnceParquetSink(out_dir, ts_col="crawl_ts")
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, sink
