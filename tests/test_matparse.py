@@ -377,3 +377,38 @@ def test_keyword_not_at_statement_start_is_identifier():
     m = parse_mfile(src, "h")
     assert m.kind == "function"
     assert m.endlineno == 4
+
+
+def test_parser_fuzz_never_raises_and_blocks_nest():
+    """Deterministic fuzz (seeded LCG over a MATLAB-ish token alphabet):
+    on arbitrary token soup the parser either returns a unit with sane
+    line spans or raises the STRUCTURED SyntaxError of the P34 error path
+    (what extract.py converts to error rows) — any other exception type is
+    a bug. Guards the statement tokenizer against regressions on inputs no
+    golden file covers."""
+    toks = [
+        "if", "for", "while", "end", "x", "y(1,end)", "z{end}", "'a''b%c'",
+        '"d"', "...", "%", "% cmt", "%{", "%}", "(", ")", "[", "]", ";", ",",
+        "=", "+", "function", "properties", "arguments", "42", "a.b.c",
+        "trend", "endfor_", "_", "methods", "classdef",
+    ]
+    seed = 123456789
+
+    def lcg():
+        nonlocal seed
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        return seed
+
+    for trial in range(60):
+        n = 5 + lcg() % 40
+        lines = []
+        for _ in range(n):
+            k = 1 + lcg() % 6
+            lines.append(" ".join(toks[lcg() % len(toks)] for _ in range(k)))
+        src = "\n".join(lines)
+        try:
+            m = parse_mfile(src, "fuzz")
+        except SyntaxError:
+            continue  # structured P34 outcome — extract.py emits an error row
+        assert m.kind in ("function", "class", "script")
+        assert 1 <= m.lineno <= m.endlineno <= n + 1
