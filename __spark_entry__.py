@@ -348,6 +348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_segment_dedup": lambda s, d: D.segment_dedup(_t(s, d, "documents")["documents"]),
         "q51_mixture_sample": lambda s, d: C.mixture_sample(_t(s, d, "documents")["documents"]),
         "q52_shard_assignment": lambda s, d: C.shard_assignment(_t(s, d, "documents")["documents"]),
+        "q54_corpus_ingest": lambda s, d: __import__(
+            "maxx_spark.streaming.corpus", fromlist=["corpus_ingest_mirror"]
+        ).corpus_ingest_mirror(_t(s, d, "documents")["documents"]),
         # similarity search
         "q20_knn_bruteforce": lambda s, d: S.knn_cosine_bruteforce(_t(s, d, "embeddings")["embeddings"]),
         "q21_knn_lsh": lambda s, d: S.knn_cosine_lsh(_t(s, d, "embeddings")["embeddings"]),
@@ -1085,6 +1088,42 @@ SELECT user_id, count(*) AS n_funnels
 FROM (SELECT * FROM joined WHERE c_ts IS NOT NULL)
 WHERE c_ts >= p_ts - INTERVAL 10 MINUTE
 GROUP BY 1 ORDER BY 1
+""",
+        # q54 (streaming/corpus.corpus_ingest_mirror — deterministic batch
+        # mirror of the streaming ingest contract: quality gate >= 3,
+        # canonical-min-doc_id dedup, content-hash bucket/split)
+        "q54_corpus_ingest": f"""
+WITH t AS (
+  SELECT doc_id, text, lang, source, string_split({NORM}, ' ') AS w,
+    length(text) AS n_char,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+), q AS (
+  SELECT doc_id, text, lang, source,
+    ((CASE WHEN len(w) >= 10 AND len(w) <= 100000 THEN 1 ELSE 0 END)
+     + (CASE WHEN (CASE WHEN len(w) > 0 THEN n_alpha::DOUBLE / len(w) ELSE 0.0 END) >= 2.0
+             AND (CASE WHEN len(w) > 0 THEN n_alpha::DOUBLE / len(w) ELSE 0.0 END) <= 12.0
+             THEN 1 ELSE 0 END)
+     + (CASE WHEN (CASE WHEN len(w) > 0 THEN len(list_filter(w, x -> x IN {en}))::DOUBLE / len(w) ELSE 0.0 END) >= 0.01
+             THEN 1 ELSE 0 END)
+     + (CASE WHEN (CASE WHEN n_char > 0 THEN n_punct::DOUBLE / n_char ELSE 0.0 END) <= 0.2
+             THEN 1 ELSE 0 END)) AS quality
+  FROM t
+), f AS (
+  SELECT doc_id, text, lang, source, md5({NORM}) AS text_hash
+  FROM q WHERE quality >= 3
+), c AS (
+  SELECT doc_id, text, lang, source, text_hash,
+    row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+  FROM f
+)
+SELECT doc_id, text_hash, lang, source,
+  {MD5I.format(x=FPNORM)} % 100 AS bucket,
+  CASE WHEN {MD5I.format(x=FPNORM)} % 100 < 90 THEN 'train'
+       WHEN {MD5I.format(x=FPNORM)} % 100 < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM c WHERE rn = 1 ORDER BY doc_id
 """,
         # q53 (operators/windows.cohort_retention)
         "q53_cohort_retention": """

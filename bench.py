@@ -62,6 +62,7 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q51_mixture_sample",
         "q52_shard_assignment",
         "q53_cohort_retention",
+        "q54_corpus_ingest",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

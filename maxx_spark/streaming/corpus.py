@@ -113,6 +113,36 @@ def corpus_ingest(
     ).select("doc_id", "text_hash", "lang", "source", "crawl_ts", "bucket", split)
 
 
+def corpus_ingest_mirror(documents: DataFrame, min_quality: int = 3,
+                         train_pct: int = 90, val_pct: int = 5) -> DataFrame:
+    """DETERMINISTIC batch mirror of the ingest contract for the oracle
+    gate (q54): same quality gate and content-keyed split columns, but the
+    dedup survivor is pinned to the canonical min-doc_id row (the streaming
+    op keeps first arrival — nondeterministic across partitions, so the
+    driver-checked mirror pins the choice the way exact_dedup does).
+    Works on the raw driver ``documents`` table (no crawl_ts)."""
+    q = quality_parts(F.col("text"))["composite"]
+    filtered = documents.where(q >= F.lit(min_quality)).withColumn(
+        "text_hash", F.md5(normalized(F.col("text")))
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("text_hash").orderBy("doc_id"))
+    canon = filtered.withColumn("__rn", rn).where(F.col("__rn") == 1).drop("__rn")
+    bucket = (md5i(_fp_norm(F.col("text"))) % 100).alias("bucket")
+    split = (
+        F.when(F.col("bucket") < train_pct, F.lit("train"))
+        .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split")
+    )
+    return (
+        canon.select("doc_id", "text_hash", "lang", "source", bucket)
+        .select("doc_id", "text_hash", "lang", "source", "bucket", split)
+        .orderBy("doc_id")
+    )
+
+
 def corpus_ingest_query(
     spark: SparkSession,
     src: str,
