@@ -22,13 +22,17 @@ def test_connected_components_chain_and_singleton(spark):
         [(10, 20), (20, 30), (30, 40), (100, 200), (7, 8)],
         "doc_a long, doc_b long",
     )
-    out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
-           for r in connected_components(pairs).collect()}
-    assert out == {
+    expect = {
         10: (10, 4), 20: (10, 4), 30: (10, 4), 40: (10, 4),
         100: (100, 2), 200: (100, 2),
         7: (7, 2), 8: (7, 2),
     }
+    # both solve paths must agree: driver-side union-find (small graphs)
+    # and the distributed min-label loop (forced via local_threshold=0)
+    for thr in (100_000, 0):
+        out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+               for r in connected_components(pairs, local_threshold=thr).collect()}
+        assert out == expect, thr
 
 
 def test_connected_components_reversed_chain(spark):
@@ -39,8 +43,10 @@ def test_connected_components_reversed_chain(spark):
     pairs = spark.createDataFrame(
         [(50, 40), (40, 30), (30, 20), (20, 1)], "doc_a long, doc_b long"
     )
-    out = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
-    assert set(out.values()) == {1} and len(out) == 5
+    for thr in (100_000, 0):
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(pairs, local_threshold=thr).collect()}
+        assert set(out.values()) == {1} and len(out) == 5, thr
 
 
 def test_top_terms_tie_breaks(spark):
