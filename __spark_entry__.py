@@ -22,6 +22,7 @@ from maxx_spark.operators import dedup as D
 from maxx_spark.operators import text as T
 from maxx_spark.operators import similarity as S
 from maxx_spark.operators import corpus as C
+from maxx_spark.streaming.corpus import corpus_ingest_mirror
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect) — mirror the Spark expressions 1:1
@@ -348,9 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_segment_dedup": lambda s, d: D.segment_dedup(_t(s, d, "documents")["documents"]),
         "q51_mixture_sample": lambda s, d: C.mixture_sample(_t(s, d, "documents")["documents"]),
         "q52_shard_assignment": lambda s, d: C.shard_assignment(_t(s, d, "documents")["documents"]),
-        "q54_corpus_ingest": lambda s, d: __import__(
-            "maxx_spark.streaming.corpus", fromlist=["corpus_ingest_mirror"]
-        ).corpus_ingest_mirror(_t(s, d, "documents")["documents"]),
+        "q54_corpus_ingest": lambda s, d: corpus_ingest_mirror(_t(s, d, "documents")["documents"]),
         # similarity search
         "q20_knn_bruteforce": lambda s, d: S.knn_cosine_bruteforce(_t(s, d, "embeddings")["embeddings"]),
         "q21_knn_lsh": lambda s, d: S.knn_cosine_lsh(_t(s, d, "embeddings")["embeddings"]),

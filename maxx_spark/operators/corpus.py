@@ -37,6 +37,28 @@ def _fp_norm(text):
     return F.trim(F.regexp_replace(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "), r"\s+", " "))
 
 
+def _n_tok(text=None):
+    """The engine's regex word-token count (BPE-ish pre-tokenizer split) —
+    ONE definition shared by packing / mixture / sharding so the counts can
+    never silently diverge; each consumer's oracle mirrors it verbatim."""
+    c = F.col("text") if text is None else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9]+"), 0)).cast("long")
+
+
+def split_cols(train_pct: int = 90, val_pct: int = 5):
+    """(bucket, split) column pair of the content-hash split contract —
+    shared by hash_split (q46) and the streaming/batch ingest (q54) so the
+    thresholds and the fingerprint norm change in exactly one place."""
+    bucket = (md5i(_fp_norm(F.col("text"))) % 100).alias("bucket")
+    split = (
+        F.when(F.col("bucket") < train_pct, F.lit("train"))
+        .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split")
+    )
+    return bucket, split
+
+
 def hash_split(documents: DataFrame, train_pct: int = 90, val_pct: int = 5) -> DataFrame:
     """Deterministic train/val/test assignment by content hash.
 
@@ -47,13 +69,7 @@ def hash_split(documents: DataFrame, train_pct: int = 90, val_pct: int = 5) -> D
     so exact dupes can't straddle the eval boundary. Pure projection —
     whole-stage-codegen, no shuffle, linear at any scale.
     """
-    bucket = (md5i(_fp_norm(F.col("text"))) % 100).alias("bucket")
-    split = (
-        F.when(F.col("bucket") < train_pct, F.lit("train"))
-        .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split")
-    )
+    bucket, split = split_cols(train_pct, val_pct)
     return documents.select("doc_id", bucket).select("doc_id", "bucket", split).orderBy("doc_id")
 
 
@@ -72,7 +88,7 @@ def sequence_packing(documents: DataFrame, budget: int = 256) -> DataFrame:
     (source, shard) where shard = doc_id DIV k, which bounds every window
     partition while keeping offsets exact within a shard.
     """
-    n_tok = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)).cast("long")
+    n_tok = _n_tok()
     w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     base = documents.select("source", "doc_id", n_tok.alias("n_tok"))
     off = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
@@ -110,7 +126,7 @@ def mixture_weights(documents: DataFrame) -> DataFrame:
     single IEEE-double divisions of exact integers (bit-identical in any
     engine), rounded once for display.
     """
-    n_tok = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)).cast("long")
+    n_tok = _n_tok()
     per = documents.select("source", n_tok.alias("t")).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("n_tokens")
     )
@@ -147,7 +163,7 @@ def mixture_sample(documents: DataFrame, salt: str = "epoch0") -> DataFrame:
     hash draw. The weight arithmetic is single IEEE-double division of
     exact integers, so floor/frac are bit-identical in any engine.
     """
-    n_tok = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)).cast("long")
+    n_tok = _n_tok()
     per = documents.select("source", n_tok.alias("t")).groupBy("source").agg(
         F.sum("t").alias("n_tokens")
     )
@@ -183,7 +199,7 @@ def shard_assignment(documents: DataFrame, n_shards: int = 16) -> DataFrame:
     Plan: pure projection for the shard key, one map-side-combining
     groupBy(shard) — the global share stage runs over n_shards rows only.
     """
-    n_tok = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)).cast("long")
+    n_tok = _n_tok()
     shard = (md5i(_fp_norm(F.col("text"))) % n_shards).cast("int")
     per = (
         documents.select(shard.alias("shard"), n_tok.alias("t"))

@@ -412,10 +412,11 @@ def _cc_unionfind_local(pairs: DataFrame) -> DataFrame:
     branch of connected_components). Output contract identical to the
     distributed loop: every edge endpoint labelled with its component's
     min doc_id, plus the component size."""
-    edges = [(r[0], r[1]) for r in pairs.collect()]
-    parent: dict[int, int] = {}
+    a_name, b_name = pairs.columns[0], pairs.columns[1]
+    edges = [(r[a_name], r[b_name]) for r in pairs.collect()]
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         r = x
         while parent[r] != r:
             r = parent[r]
@@ -437,10 +438,20 @@ def _cc_unionfind_local(pairs: DataFrame) -> DataFrame:
         label = min(members)
         for m in members:
             rows.append((m, label, len(members)))
-    rows.sort()
-    return pairs.sparkSession.createDataFrame(
-        rows, "doc_id long, cluster_id long, cluster_size long"
-    ).orderBy("doc_id")
+    # schema follows the PAIR key type (the distributed path is key-type
+    # generic; the local branch must be too — same input, same outcome
+    # whichever side of the threshold the runtime count lands on)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    key_type = pairs.schema[0].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", key_type),
+            StructField("cluster_id", key_type),
+            StructField("cluster_size", LongType()),
+        ]
+    )
+    return pairs.sparkSession.createDataFrame(rows, schema).orderBy("doc_id")
 
 
 def simhash32(documents: DataFrame) -> DataFrame:

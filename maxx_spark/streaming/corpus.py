@@ -29,8 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from maxx_spark.operators.corpus import _fp_norm
-from maxx_spark.operators.dedup import md5i, normalized
+from maxx_spark.operators.corpus import split_cols
+from maxx_spark.operators.dedup import normalized
 from maxx_spark.operators.text import quality_parts
 from maxx_spark.streaming.sink import ExactlyOnceParquetSink
 
@@ -44,7 +44,7 @@ def documents_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     r = spark.readStream.schema(DOCS_STREAM_SCHEMA)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return r.parquet(path)
 
@@ -57,12 +57,16 @@ def stage_documents_dir(
     n_dupes: int = 50,
 ) -> int:
     """Stage the sf documents table as a timestamped parquet stream source:
-    crawl_ts = epoch-2024 + doc_id seconds (deterministic), plus ``n_dupes``
-    re-crawls of the first docs (new doc_id, +30 s crawl_ts, same text —
-    inside the dedup watermark). Written as ``n_chunks`` files = micro-batch
-    boundaries. Returns total staged rows."""
+    crawl_ts = epoch-2024 + (doc_id mod 200) seconds (deterministic), plus
+    ``n_dupes`` re-crawls of the first docs (new doc_id, +230 s offset, same
+    text). The WHOLE event-time span is bounded at 430 s regardless of
+    corpus size — strictly inside corpus_ingest's default 10-minute dedup
+    watermark, so no staged row can ever be late-dropped and the
+    batch-mirror equality the tests assert is independent of file arrival
+    order and of the table's row count. Written as ``n_chunks`` files =
+    micro-batch boundaries. Returns total staged rows."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+    ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") % 200)
     base = docs.select("doc_id", "text", "lang", "source", "n_chars", ts.alias("crawl_ts"))
     dup = (
         docs.orderBy("doc_id")
@@ -73,7 +77,9 @@ def stage_documents_dir(
             "lang",
             "source",
             "n_chars",
-            F.timestamp_seconds(F.lit(1704067200 + 30) + F.col("doc_id")).alias("crawl_ts"),
+            F.timestamp_seconds(
+                F.lit(1704067200 + 230) + F.col("doc_id") % 200
+            ).alias("crawl_ts"),
         )
     )
     staged = base.unionByName(dup)
@@ -101,13 +107,7 @@ def corpus_ingest(
         )
     else:
         deduped = filtered.dropDuplicates(["text_hash"])
-    bucket = (md5i(_fp_norm(F.col("text"))) % 100).alias("bucket")
-    split = (
-        F.when(F.col("bucket") < train_pct, F.lit("train"))
-        .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split")
-    )
+    bucket, split = split_cols(train_pct, val_pct)
     return deduped.select(
         "doc_id", "text_hash", "lang", "source", "crawl_ts", bucket
     ).select("doc_id", "text_hash", "lang", "source", "crawl_ts", "bucket", split)
@@ -129,13 +129,7 @@ def corpus_ingest_mirror(documents: DataFrame, min_quality: int = 3,
 
     rn = F.row_number().over(Window.partitionBy("text_hash").orderBy("doc_id"))
     canon = filtered.withColumn("__rn", rn).where(F.col("__rn") == 1).drop("__rn")
-    bucket = (md5i(_fp_norm(F.col("text"))) % 100).alias("bucket")
-    split = (
-        F.when(F.col("bucket") < train_pct, F.lit("train"))
-        .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split")
-    )
+    bucket, split = split_cols(train_pct, val_pct)
     return (
         canon.select("doc_id", "text_hash", "lang", "source", bucket)
         .select("doc_id", "text_hash", "lang", "source", "bucket", split)
