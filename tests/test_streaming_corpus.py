@@ -50,10 +50,17 @@ def test_streaming_corpus_ingest_matches_batch_mirror(spark, staged_docs, tmp_pa
     # the injected re-crawls were deduplicated: fewer outputs than inputs
     assert len(got_rows) < n_staged
 
-    # lineage rows carry crawl_ts min/max per partition
+    # lineage rows carry crawl_ts min/max per partition; a partition whose
+    # rows were ALL deduplicated away legitimately reports rows=0 with no
+    # ts statistics (empty parquet footer), so the non-null requirement
+    # applies only to producing partitions
     lin = sink.read_lineage(spark).collect()
-    assert len(lin) > 0
-    assert all(r["min_ts"] is not None and r["max_ts"] is not None for r in lin)
+    assert len(lin) > 0 and sum(r["rows"] for r in lin) == len(got_rows)
+    assert all(
+        r["min_ts"] is not None and r["max_ts"] is not None
+        for r in lin
+        if r["rows"] > 0
+    )
 
 
 def test_streaming_corpus_ingest_restart_is_idempotent(spark, staged_docs, tmp_path):
