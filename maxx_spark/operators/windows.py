@@ -148,19 +148,21 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     event; n_users = distinct users from cohort c active in week w — the
     (cohort_week, active_week) matrix behind every retention curve.
 
-    Plan: one uniform groupBy(user_id) for first-seen (map-side combining),
-    one distinct over (user_id, week) — both shuffle on user_id, so the
-    cohort⨝activity join reuses that partitioning; the final rollup groups
-    on bounded (week, week) keys. No skew risk: user_id is the shuffle key
-    throughout, and date_trunc is monotone so trunc(min(ts)) ≡
-    min(trunc(ts)) — mirrored verbatim in the oracle.
+    Plan: ONE corpus shuffle. first-seen (min ts) and the distinct active
+    weeks (collect_set of the truncated ts — bounded: weeks-per-user, not
+    events-per-user) compute in a single groupBy(user_id) with map-side
+    partial aggregation; exploding the set and rolling up on bounded
+    (week, week) keys needs no join at all — versus the textbook
+    groupBy + distinct + join shape, which shuffles the events three
+    times. date_trunc is monotone so trunc(min(ts)) ≡ min(trunc(ts)) —
+    mirrored verbatim in the oracle.
     """
-    first = events.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    per_user = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+        F.collect_set(F.date_trunc("week", F.col("ts"))).alias("weeks"),
     )
-    active = events.select("user_id", F.date_trunc("week", F.col("ts")).alias("active_week")).distinct()
     return (
-        active.join(first, "user_id")
+        per_user.select("cohort_week", F.explode("weeks").alias("active_week"))
         .groupBy("cohort_week", "active_week")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "active_week")
