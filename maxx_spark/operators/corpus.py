@@ -1,24 +1,28 @@
 """Dataset-assembly operators: the steps between a cleaned corpus and a
 training run — deterministic split assignment, concat-and-chunk sequence
-packing, source mixture weights, and per-language quality stratification.
+packing, source mixture weights/sampling, per-language quality
+stratification, and output sharding.
 
-All four are expressed as declarative DataFrame plans (no Python in the hot
+All are expressed as declarative DataFrame plans (no Python in the hot
 path) with exact ANSI-SQL oracles:
 
 - ``hash_split``: shuffle-free projection (one corpus scan, zero exchanges).
 - ``sequence_packing``: ONE shuffle on ``source`` + a running-sum window —
   the minimum for deterministic packing; at corpus scale pack per
   (source, shard) so a mega-source never serializes into one partition.
-- ``mixture_weights``: two-phase aggregate; the global stage runs over the
-  per-source rollup only (one row per source — bounded), never the corpus.
+- ``mixture_weights`` / ``mixture_sample``: two-phase aggregate; the global
+  stage runs over the per-source rollup only (one row per source —
+  bounded), never the corpus; the sample join carries no broadcast hint
+  (AQE broadcasts the rollup at runtime when small).
 - ``quality_stratify``: shuffle on ``lang`` (bounded cardinality) + ntile
   sort; at corpus scale replace the full sort with approx-quantile cutoffs
   (noted inline) — exact ntile is the oracle-checkable reference semantics.
+- ``shard_assignment``: map-side-combining groupBy over n_shards keys.
 
 Reference parity note: the reference engine (watermarkhu/maxx) stops at
 extraction; these operators are the training-pipeline layer the brief asks
 for on top, so there is no reference file to cite — semantics are defined
-here and checked against the DuckDB oracles (q46-q49).
+here and checked against the DuckDB oracles (q46-q52, q54).
 """
 
 from __future__ import annotations
