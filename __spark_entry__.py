@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_source_quality": lambda s, d: T.source_quality(_t(s, d, "documents")["documents"]),
         "q44_dedup_clusters": lambda s, d: D.dedup_clusters(_t(s, d, "documents")["documents"]),
         "q45_contamination": lambda s, d: T.contamination_check(_t(s, d, "documents")["documents"]),
+        "q55_vocab_build": lambda s, d: T.vocab_build(_t(s, d, "documents")["documents"]),
         # dataset assembly: split / pack / mix / stratify
         "q46_hash_split": lambda s, d: C.hash_split(_t(s, d, "documents")["documents"]),
         "q47_sequence_packing": lambda s, d: C.sequence_packing(_t(s, d, "documents")["documents"]),
@@ -1087,6 +1088,20 @@ SELECT user_id, count(*) AS n_funnels
 FROM (SELECT * FROM joined WHERE c_ts IS NOT NULL)
 WHERE c_ts >= p_ts - INTERVAL 10 MINUTE
 GROUP BY 1 ORDER BY 1
+""",
+        # q55 (operators/text.vocab_build)
+        "q55_vocab_build": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM}, ' ')) AS term FROM documents
+), per_doc AS (
+  SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT term, sum(c)::BIGINT AS tf, count(*)::BIGINT AS df
+  FROM per_doc GROUP BY term
+)
+SELECT (row_number() OVER (ORDER BY df DESC, tf DESC, term) - 1)::BIGINT AS vocab_id,
+  term, tf, df
+FROM stats WHERE df >= 2 ORDER BY vocab_id
 """,
         # q54 (streaming/corpus.corpus_ingest_mirror — deterministic batch
         # mirror of the streaming ingest contract: quality gate >= 3,

@@ -63,6 +63,7 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q52_shard_assignment",
         "q53_cohort_retention",
         "q54_corpus_ingest",
+        "q55_vocab_build",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

@@ -323,6 +323,39 @@ def top_terms(documents: DataFrame, k: int = 5, min_len: int = 3) -> DataFrame:
     )
 
 
+def vocab_build(documents: DataFrame, min_df: int = 2) -> DataFrame:
+    """Corpus vocabulary construction (the tokenizer-training precursor):
+    every term with document frequency >= ``min_df`` gets a deterministic
+    CONTIGUOUS id, assigned by (df desc, tf desc, term asc) — frequent
+    terms get small ids, ties integer-broken, bit-reproducible anywhere.
+
+    Plan: one explode + two hash aggs (tf/df combine map-side), then a
+    global row_number over the VOCABULARY table — one row per surviving
+    term, orders of magnitude smaller than the corpus, but still a
+    single-partition window stage. That is the honest cost of contiguous
+    ids; at 100 TB either accept it on the (bounded, post-min_df)
+    vocabulary or relax contiguity and derive ids from a (df, tf, term)
+    sort-rank per partition range (zipWithIndex shape). The expression
+    layer is unchanged by that substitution.
+    """
+    toks = documents.select("doc_id", F.explode(_tok(F.col("text"))).alias("term"))
+    per_doc = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_doc.groupBy("term").agg(
+        F.sum("c").alias("tf"), F.count(F.lit(1)).alias("df")
+    )
+    w = Window.partitionBy().orderBy(F.desc("df"), F.desc("tf"), F.asc("term"))
+    return (
+        stats.where(F.col("df") >= min_df)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("vocab_id"),
+            "term",
+            "tf",
+            "df",
+        )
+        .orderBy("vocab_id")
+    )
+
+
 def source_quality(documents: DataFrame) -> DataFrame:
     """Per-source corpus health rollup: doc count, distinct-content count
     (by the aggressive fingerprint norm), mean quality composite, total

@@ -87,3 +87,21 @@ def test_source_quality_counts_distinct_content(spark):
     out = {r["source"]: (r["n_docs"], r["n_distinct"]) for r in source_quality(docs).collect()}
     assert out["src0"] == (2, 1)
     assert out["src1"] == (2, 2)
+
+
+def test_vocab_build_ids_and_min_df(spark):
+    """Contiguous ids from 0 in (df desc, tf desc, term asc) order; terms
+    below min_df dropped; tf is the TOTAL occurrence count."""
+    from maxx_spark.operators.text import vocab_build
+
+    docs = _docs(spark, [
+        "alpha alpha beta",      # alpha tf=2 here
+        "alpha beta gamma",
+        "beta delta",            # delta df=1 -> dropped at min_df=2
+    ])
+    out = [(r["vocab_id"], r["term"], r["tf"], r["df"]) for r in vocab_build(docs).collect()]
+    # beta: df=3; alpha: df=2 tf=3; gamma/delta df=1 dropped... gamma df=1 too
+    assert out == [(0, "beta", 3, 3), (1, "alpha", 3, 2)]
+    all_terms = vocab_build(docs, min_df=1).collect()
+    assert [r["vocab_id"] for r in all_terms] == list(range(len(all_terms)))
+    assert {r["term"] for r in all_terms} == {"alpha", "beta", "gamma", "delta"}
