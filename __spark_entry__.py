@@ -930,7 +930,9 @@ WITH w AS (
   SELECT doc_id, array_to_string(wa[(i*10+1):(i*10+10)], ' ') AS segment
   FROM (SELECT doc_id, wa, unnest(generate_series(0, (len(wa) // 10)::BIGINT - 1)) AS i FROM w)
 ), occ AS (
-  SELECT doc_id, (CASE WHEN count(*) OVER (PARTITION BY segment) > 1 THEN 1 ELSE 0 END) AS is_dup
+  -- dup flag over the 56-bit segment hash (the engine's exchange key) —
+  -- identical flags mod md5 collisions, which both engines share
+  SELECT doc_id, (CASE WHEN count(*) OVER (PARTITION BY {MD5I.format(x='segment')}) > 1 THEN 1 ELSE 0 END) AS is_dup
   FROM seg
 )
 SELECT doc_id, count(*)::BIGINT AS n_segments, sum(is_dup)::BIGINT AS n_dup_segments,

@@ -7,16 +7,17 @@ All are expressed as declarative DataFrame plans (no Python in the hot
 path) with exact ANSI-SQL oracles:
 
 - ``hash_split``: shuffle-free projection (one corpus scan, zero exchanges).
-- ``sequence_packing``: ONE shuffle on ``source`` + a running-sum window —
-  the minimum for deterministic packing; at corpus scale pack per
-  (source, shard) so a mega-source never serializes into one partition.
+- ``sequence_packing``: bounded (source, shard) packing key — within-shard
+  running sums plus a shard-rollup prefix sum, so a mega-source never
+  serializes into one window partition; offsets identical to the
+  source-global formulation.
 - ``mixture_weights`` / ``mixture_sample``: two-phase aggregate; the global
   stage runs over the per-source rollup only (one row per source —
   bounded), never the corpus; the sample join carries no broadcast hint
   (AQE broadcasts the rollup at runtime when small).
-- ``quality_stratify``: shuffle on ``lang`` (bounded cardinality) + ntile
-  sort; at corpus scale replace the full sort with approx-quantile cutoffs
-  (noted inline) — exact ntile is the oracle-checkable reference semantics.
+- ``quality_stratify``: exact per-language ntile via distributed range
+  ranking (the scale path, default) or a per-language sort window (the
+  directly-stated reference semantics) — identical output, test-pinned.
 - ``shard_assignment``: map-side-combining groupBy over n_shards keys.
 
 Reference parity note: the reference engine (watermarkhu/maxx) stops at
@@ -31,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from maxx_spark.operators.dedup import md5i
+from maxx_spark.operators.ranking import range_ranked
 from maxx_spark.operators.text import quality_parts
 
 # Aggressive content normalization (same as text.fingerprint): split
@@ -77,7 +79,9 @@ def hash_split(documents: DataFrame, train_pct: int = 90, val_pct: int = 5) -> D
     return documents.select("doc_id", bucket).select("doc_id", "bucket", split).orderBy("doc_id")
 
 
-def sequence_packing(documents: DataFrame, budget: int = 256) -> DataFrame:
+def sequence_packing(
+    documents: DataFrame, budget: int = 256, shard_size: int = 256
+) -> DataFrame:
     """Concat-and-chunk sequence packing: per source, documents concatenated
     in doc_id order and chunked into fixed ``budget``-token training
     sequences (the standard causal-LM packing scheme — documents may span a
@@ -86,17 +90,61 @@ def sequence_packing(documents: DataFrame, budget: int = 256) -> DataFrame:
     Emits, per document: its token count (regex word tokens — the engine's
     BPE-ish pre-tokenizer split), its starting token offset in the source
     stream, and the first/last sequence index it lands in plus the span
-    count. Plan: one exchange on ``source`` + a running-sum window
-    (UNBOUNDED PRECEDING .. 1 PRECEDING) — Spark computes it in a single
-    sort-based window pass. At 100 TB the packing key should be
-    (source, shard) where shard = doc_id DIV k, which bounds every window
-    partition while keeping offsets exact within a shard.
+    count.
+
+    Plan — BOUNDED packing key: the running sum partitions by
+    (source, shard) with shard = doc_id DIV ``shard_size``, never by
+    ``source`` alone (one mega-source — the realistic web-corpus shape —
+    would otherwise serialize most of the corpus into a single sort
+    partition). shard is monotone in doc_id, so ordering by (shard, doc_id)
+    IS the per-source doc_id order and the emitted offsets are identical to
+    the single-window formulation:
+
+    1. within-shard running sum — every window partition holds at most
+       ``shard_size`` docs, a mega-source fans out over ⌈docs/k⌉ partitions;
+    2. per-(source, shard) token totals — a groupBy on the SAME keys the
+       window just partitioned on, so Catalyst reuses the exchange;
+    3. shard base offsets — a running sum over the ROLLUP (one row per
+       shard: corpus/k rows total, kilobyte-scale), partitioned by source;
+    4. join the shard base back on (source, shard) — no broadcast hint
+       (the rollup is unbounded in principle; AQE broadcasts it at runtime
+       when it is actually small).
+
+    Size ``shard_size`` so step 3's per-source rollup partition stays small:
+    k = 100_000 puts a 10^11-doc source at 10^6 rollup rows. The default
+    (256) keeps multiple shards live at test scale so the bounded plan is
+    what the oracle actually checks.
     """
     n_tok = _n_tok()
-    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    base = documents.select("source", "doc_id", n_tok.alias("n_tok"))
-    off = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
-    out = base.select("source", "doc_id", "n_tok", off.alias("tok_offset"))
+    shard = F.expr(f"doc_id DIV {int(shard_size)}").cast("long").alias("__shard")
+    w_in = (
+        Window.partitionBy("source", "__shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = documents.select("source", shard, "doc_id", n_tok.alias("n_tok"))
+    off_in = F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)).cast("long")
+    within = base.select("source", "__shard", "doc_id", "n_tok", off_in.alias("__off_in"))
+    totals = within.groupBy("source", "__shard").agg(F.sum("n_tok").alias("__shard_tok"))
+    w_sh = (
+        Window.partitionBy("source")
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = totals.select(
+        "source",
+        "__shard",
+        F.coalesce(F.sum("__shard_tok").over(w_sh), F.lit(0)).cast("long").alias("__base"),
+    )
+    out = (
+        within.join(bases, ["source", "__shard"])
+        .select(
+            "source",
+            "doc_id",
+            "n_tok",
+            (F.col("__base") + F.col("__off_in")).cast("long").alias("tok_offset"),
+        )
+    )
     seq_first = F.floor(F.col("tok_offset") / F.lit(budget)).cast("long")
     seq_last = F.when(
         F.col("n_tok") > 0,
@@ -222,24 +270,70 @@ def shard_assignment(documents: DataFrame, n_shards: int = 16) -> DataFrame:
     )
 
 
-def quality_stratify(documents: DataFrame, n_buckets: int = 10) -> DataFrame:
+def quality_stratify(
+    documents: DataFrame, n_buckets: int = 10, method: str = "ranked"
+) -> DataFrame:
     """Per-language quality stratification: every document gets an ntile
     bucket (1 = best) within its language, ranked by the engine's quality
     composite (descending) with doc_id as the deterministic tie-break —
     the selection primitive behind "keep the top decile per language".
 
-    Plan: one corpus scan computing the composite (shared expression with
-    quality_score — one definition, one oracle mirror), one exchange on
-    ``lang`` (bounded cardinality), one sort per partition for ntile.
-    Exact ntile is the reference semantics the oracle can check; at corpus
-    scale swap the full per-language sort for approxQuantile cutoffs over
-    the composite (same buckets up to quantile-sketch error, no global
-    sort) — the expression layer is unchanged by that substitution.
+    Two physical strategies, IDENTICAL output (a test pins their equality;
+    the oracle checks the production path against exact SQL ntile):
+
+    - ``method="ntile"`` — the reference semantics stated directly: one
+      exchange on ``lang`` + ntile over a per-language sort. Exact, but at
+      web scale one language dominates the corpus (``en`` is most of the
+      crawl) and its whole partition sorts on ONE task.
+    - ``method="ranked"`` (default, the scale path) — exact per-language
+      rank via ``range_ranked`` on (lang, quality desc, doc_id): range
+      partitioning spreads the hot language across many partitions and the
+      rank is exact (strict total order — doc_id unique), then the bucket
+      comes from ntile's closed form on (rank, n_lang): with q = n div b,
+      r = n mod b, the first r buckets take q+1 rows —
+      bucket = ceil(rank/(q+1)) while rank <= r*(q+1), else
+      r + ceil((rank - r*(q+1))/q). Per-language row counts are a bounded
+      rollup (one row per language).
+
+    Why not approx-quantile cutoffs: the composite is a small integer
+    (0..4), so ties are the COMMON case — cutoff bucketing sends every tied
+    document to the same bucket and cannot reproduce ntile's rank-split of
+    ties at any sketch accuracy. The distributed exact rank gives the same
+    parallelism with zero approximation.
     """
     q = quality_parts(F.col("text"))["composite"]
-    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    base = documents.select("lang", "doc_id", q.alias("quality"))
+    if method == "ntile":
+        w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id"))
+        return base.select(
+            "lang", "doc_id", "quality", F.ntile(n_buckets).over(w).alias("bucket")
+        ).orderBy("lang", "doc_id")
+    if method != "ranked":
+        raise ValueError(f"unknown quality_stratify method: {method!r}")
+    ranked = range_ranked(
+        base,
+        [F.asc("lang"), F.desc("quality"), F.asc("doc_id")],
+        rank_name="__gr",
+    )
+    # per-language start = min global rank in the language (ranks are
+    # contiguous per lang because lang leads the sort key) — a bounded
+    # rollup over the ranked rows, no window anywhere
+    lang_tab = ranked.groupBy("lang").agg(
+        F.min("__gr").alias("__start"), F.count(F.lit(1)).alias("__n")
+    )
+    joined = (
+        ranked.join(lang_tab, "lang")
+        .withColumn("__rho", F.col("__gr") - F.col("__start") + F.lit(1))  # 1-based in-lang rank
+        .withColumn("__q", F.expr(f"__n DIV {int(n_buckets)}"))
+        .withColumn("__r", F.pmod(F.col("__n"), F.lit(n_buckets)).cast("long"))
+    )
+    # CaseWhen evaluates branches lazily, so the __q = 0 case (n < buckets,
+    # head branch always taken) never divides by zero
+    bucket = F.when(
+        F.col("__rho") <= F.col("__r") * (F.col("__q") + 1),
+        F.expr("(__rho - 1) DIV (__q + 1) + 1"),
+    ).otherwise(F.expr("__r + (__rho - __r * (__q + 1) - 1) DIV __q + 1"))
     return (
-        documents.select("lang", "doc_id", q.alias("quality"))
-        .select("lang", "doc_id", "quality", F.ntile(n_buckets).over(w).alias("bucket"))
+        joined.select("lang", "doc_id", "quality", bucket.cast("int").alias("bucket"))
         .orderBy("lang", "doc_id")
     )

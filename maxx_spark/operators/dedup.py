@@ -359,7 +359,7 @@ def connected_components(
     )
 
 
-def segment_dedup(documents: DataFrame, k: int = 10) -> DataFrame:
+def segment_dedup(documents: DataFrame, k: int = 10, salts: int = 8) -> DataFrame:
     """CCNet-style sub-document dedup rollup: each document is cut into
     consecutive non-overlapping ``k``-word segments (the line/paragraph
     analogue for boundary-free web text); a segment is DUPLICATED when its
@@ -367,16 +367,30 @@ def segment_dedup(documents: DataFrame, k: int = 10) -> DataFrame:
     segment count, duplicated-segment count, and the fraction of segments a
     line-dedup pass would drop — the per-doc signal CCNet thresholds on.
 
-    Plan: segments build locally (element_at composition — no per-position
-    array copies, no Python), global occurrence counts via ONE count-window
-    exchange on the segment text (the same partitioning-reuse shape as
-    _capped_shingles), then a groupBy(doc_id) rollup. Two exchanges total,
-    both on uniform keys; at 100 TB hash the segment to a 56-bit int for
-    the exchange key and salt any viral boilerplate segment (df-cap logic
-    as in _capped_shingles) — the rollup is unchanged.
-    """
-    from pyspark.sql import Window
+    Plan — hashed keys, skew-proof dup flags (the _capped_shingles df-cap
+    idea adapted to a flag that cannot be dropped):
 
+    1. segments build locally (element_at composition — no per-position
+       array copies, no Python) and are immediately hashed to the 56-bit
+       md5i int — every downstream exchange/compare moves 8 bytes, never
+       the segment string (mirrored in the oracle, so hash collisions —
+       ~n²/2^57 — affect both engines identically);
+    2. occurrence counts via groupBy(hash): partial aggregation combines
+       map-side, so a viral boilerplate segment reaches its reducer as one
+       partial row per map task — a count-WINDOW here (the old shape) would
+       instead shuffle every raw occurrence of the hot segment into a
+       single partition;
+    3. the dup SET (count > 1 — the flag saturates, exact counts are never
+       needed) is replicated over ``salts`` buckets and LEFT-joined back on
+       (hash, salt(doc_id)): the probe side spreads a viral segment's rows
+       across ``salts`` partitions, the build side is the segment index
+       (not the corpus) and carries no broadcast hint;
+    4. groupBy(doc_id) rollup.
+
+    One more exchange than the count-window shape (agg + salted join-back
+    vs one window) — bought deliberately: the window's single hot partition
+    is the thing that dies first on web boilerplate at 100 TB.
+    """
     d = documents.select("doc_id", F.split(normalized(F.col("text")), " ").alias("__w"))
     w = F.col("__w")
     n_seg = F.floor(F.size(w) / F.lit(k)).cast("int")
@@ -386,11 +400,24 @@ def segment_dedup(documents: DataFrame, k: int = 10) -> DataFrame:
     seg = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i * k + j + 1) for j in range(k)])
     )
-    segs = d.select("doc_id", F.explode(seg).alias("segment"))
-    occ = F.count(F.lit(1)).over(Window.partitionBy("segment"))
-    per_seg = segs.select("doc_id", (occ > 1).cast("int").alias("is_dup"))
+    segs = d.select("doc_id", F.explode(seg).alias("segment")).select(
+        "doc_id", md5i(F.col("segment")).alias("__h")
+    )
+    dup_set = (
+        segs.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .select("__h", F.explode(F.sequence(F.lit(0), F.lit(int(salts) - 1))).alias("__salt"))
+        .withColumn("__dup", F.lit(1))
+    )
+    probe = segs.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(int(salts))).cast("int")
+    )
+    flagged = probe.join(dup_set, ["__h", "__salt"], "left").select(
+        "doc_id", F.coalesce(F.col("__dup"), F.lit(0)).alias("is_dup")
+    )
     return (
-        per_seg.groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
             F.sum("is_dup").alias("n_dup_segments"),

@@ -1,0 +1,97 @@
+"""Distributed exact global ranking — the DataFrame form of RDD
+zipWithIndex, used wherever the engine needs contiguous ids or exact rank
+positions WITHOUT a single-partition window (``Window.partitionBy()`` over
+an unbounded table sorts everything on one task — the classic 100 TB
+scale-killer this module exists to remove).
+
+Shape (three bounded steps, no unpartitioned Window anywhere):
+
+1. ``repartitionByRange`` on the order key — Spark's range partitioner
+   samples the key distribution, so every partition holds a contiguous,
+   roughly equal-sized key range (a hot language / hot df-class spreads
+   over many partitions instead of hashing to one).
+2. ``sortWithinPartitions`` + ``localCheckpoint`` — the checkpoint PINS the
+   sampled range boundaries and the row order: the range sampler is seeded
+   per RDD, so without materialization the per-partition counts job and
+   the output job could re-draw different boundaries and the offsets would
+   be wrong. (Same localCheckpoint-as-barrier pattern as the
+   connected-components loop, operators/dedup.py.)
+3. ``monotonically_increasing_id`` → (partition id, local row index) with
+   ZERO additional shuffle, a per-partition count rollup (one row per
+   partition — bounded by the partition count, collected like the CC
+   convergence probe), and a broadcast join of the prefix-sum offsets
+   (fixed bounded dim — the legitimate broadcast case).
+
+Determinism: the caller's order key must be a STRICT total order (include
+a unique tiebreak column). Then the globally sorted sequence is unique, so
+``offset[pid] + local_index`` assigns the same rank to every row no matter
+where the sampled range boundaries fall — boundaries move work between
+partitions, never ranks between rows. Equal keys cannot straddle a range
+boundary anyway (range partitioning assigns by key value), but uniqueness
+is what makes the output reproducible run-to-run.
+
+Cost model at 100 TB: one range exchange of the projected columns + a
+local sort — the same bytes the single-partition window would shuffle, but
+sorted in parallel across the cluster instead of on one task. The
+localCheckpoint stores the slim projection (memory-and-disk, spillable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# monotonically_increasing_id packs the local row index into the low 33
+# bits (partition id above) — per-partition row counts must stay below
+# 2^33 (~8.5e9 rows/partition; size num_partitions so they do).
+_MID_BITS = 33
+_MID_MASK = (1 << _MID_BITS) - 1
+
+
+def range_ranked(
+    df: DataFrame,
+    order_cols: list,
+    rank_name: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a 0-based dense global row number ``rank_name`` ordering by
+    ``order_cols`` (Column expressions, may carry .desc()/.asc(); MUST end
+    in a unique tiebreak — see module docstring), computed with range
+    partitioning + per-partition enumeration instead of a one-task sort.
+
+    Exactly equivalent to ``row_number().over(Window.orderBy(*cols)) - 1``
+    for a strict order key; scalable where that window is not.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sorted_df = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint()
+    )
+    with_mid = sorted_df.withColumn("__mid", F.monotonically_increasing_id())
+    # bounded rollup: one row per physical partition
+    counts = (
+        with_mid.groupBy(F.shiftright(F.col("__mid"), _MID_BITS).alias("__pid"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], acc))
+        acc += row["__n"]
+    if not offsets:
+        offsets = [(0, 0)]
+    off_df = spark.createDataFrame(offsets, "__pid long, __off long")
+    return (
+        with_mid.withColumn("__pid", F.shiftright(F.col("__mid"), _MID_BITS))
+        .join(off_df, "__pid")  # bounded literal dim: Catalyst sees the
+        # LocalRelation's size and picks a broadcast on its own — no hint,
+        # so the zero-unbounded-hint plan gate stays uniform
+        .withColumn(
+            rank_name,
+            (F.col("__off") + F.col("__mid").bitwiseAND(F.lit(_MID_MASK))).cast("long"),
+        )
+        .drop("__pid", "__mid", "__off")
+    )

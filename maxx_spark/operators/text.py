@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from maxx_spark.operators.dedup import normalized
+from maxx_spark.operators.ranking import range_ranked
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
 # Deterministic and mirrored verbatim in the SQL oracle.
@@ -329,31 +330,26 @@ def vocab_build(documents: DataFrame, min_df: int = 2) -> DataFrame:
     CONTIGUOUS id, assigned by (df desc, tf desc, term asc) — frequent
     terms get small ids, ties integer-broken, bit-reproducible anywhere.
 
-    Plan: one explode + two hash aggs (tf/df combine map-side), then a
-    global row_number over the VOCABULARY table — one row per surviving
-    term, orders of magnitude smaller than the corpus, but still a
-    single-partition window stage. That is the honest cost of contiguous
-    ids; at 100 TB either accept it on the (bounded, post-min_df)
-    vocabulary or relax contiguity and derive ids from a (df, tf, term)
-    sort-rank per partition range (zipWithIndex shape). The expression
-    layer is unchanged by that substitution.
+    Plan: one explode + two hash aggs (tf/df combine map-side), then
+    contiguous ids via ``range_ranked`` (operators/ranking.py) — range
+    partition the surviving vocabulary on the id order, enumerate within
+    partitions, prefix-sum the bounded per-partition counts. At 100 TB
+    with min_df=2 the post-filter vocabulary is still hundreds of millions
+    of terms; the previous single-partition ``row_number`` window sorted
+    all of them on one task, this sorts them in parallel and assigns the
+    IDENTICAL ids ((df, tf, term) is a strict total order — term unique).
     """
     toks = documents.select("doc_id", F.explode(_tok(F.col("text"))).alias("term"))
     per_doc = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
     stats = per_doc.groupBy("term").agg(
         F.sum("c").alias("tf"), F.count(F.lit(1)).alias("df")
     )
-    w = Window.partitionBy().orderBy(F.desc("df"), F.desc("tf"), F.asc("term"))
-    return (
-        stats.where(F.col("df") >= min_df)
-        .select(
-            (F.row_number().over(w) - 1).cast("long").alias("vocab_id"),
-            "term",
-            "tf",
-            "df",
-        )
-        .orderBy("vocab_id")
+    ranked = range_ranked(
+        stats.where(F.col("df") >= min_df),
+        [F.desc("df"), F.desc("tf"), F.asc("term")],
+        rank_name="vocab_id",
     )
+    return ranked.select("vocab_id", "term", "tf", "df").orderBy("vocab_id")
 
 
 def source_quality(documents: DataFrame) -> DataFrame:

@@ -197,3 +197,46 @@ def test_quality_stratify_ntile_fairness(spark):
         for b in range(k):
             expect += [b + 1] * (big + (1 if b < rem else 0))
         assert [r["bucket"] for r in order] == expect, lang
+
+
+def test_sequence_packing_bounded_shard_key(spark):
+    """The packing window partitions by (source, shard), never source
+    alone: a single-source corpus fans out over multiple window partitions,
+    and the emitted offsets are IDENTICAL to the source-global running sum
+    (shard = doc_id DIV k is monotone in doc_id)."""
+    from maxx_spark.operators.corpus import sequence_packing
+    from maxx_spark.plans import executed_plan
+
+    rows = [(i, " ".join(f"w{j}" for j in range(5 + i % 7)), "en", "mega") for i in range(64)]
+    docs = _docs(spark, rows)
+    sharded = sequence_packing(docs, budget=16, shard_size=8)
+    # one source, 64 docs, shard_size 8 -> 8 live window partitions
+    n_shards = docs.select(F.expr("doc_id DIV 8").alias("s")).distinct().count()
+    assert n_shards == 8
+    plan = executed_plan(sharded)
+    assert "__shard" in plan, "packing window must partition by (source, shard)"
+    # offsets equal the unbounded-key formulation (shard_size larger than
+    # the corpus degenerates to one shard per source = the old plan)
+    got = {r["doc_id"]: tuple(r) for r in sharded.collect()}
+    want = {r["doc_id"]: tuple(r) for r in sequence_packing(docs, budget=16, shard_size=1 << 40).collect()}
+    assert got == want
+
+
+def test_quality_stratify_methods_agree(spark):
+    """The distributed-rank scale path and the literal ntile window assign
+    IDENTICAL buckets — including a language with fewer docs than buckets
+    (ntile's q=0 edge)."""
+    from maxx_spark.operators.corpus import quality_stratify
+
+    good = ("the cat and the dog is of a kind to all in the end, "
+            "and the story is told in a calm way of the old land.")
+    rows = []
+    for i in range(40):
+        text = good if i % 3 == 0 else ("!!! ??? ;;;" * (1 + i % 4))
+        lang = ["en", "en", "en", "de", "fr"][i % 5]  # fr sparse
+        rows.append((i, text, lang, f"s{i % 3}"))
+    rows += [(100, good, "xx", "s0"), (101, "??? !!!", "xx", "s0")]  # n=2 < 10 buckets
+    docs = _docs(spark, rows)
+    ranked = sorted(map(tuple, quality_stratify(docs, method="ranked").collect()))
+    ntile = sorted(map(tuple, quality_stratify(docs, method="ntile").collect()))
+    assert ranked == ntile

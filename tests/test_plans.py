@@ -141,7 +141,7 @@ def test_corpus_assembly_plan_shapes(spark, sf_dir):
     hint must not force it at corpus scale)."""
     from maxx_spark.operators import corpus as C
     from maxx_spark.operators import dedup as D
-    from maxx_spark.plans import broadcast_hint_count, plan_summary
+    from maxx_spark.plans import broadcast_hint_count, executed_plan, plan_summary
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     for df in (
@@ -159,7 +159,34 @@ def test_corpus_assembly_plan_shapes(spark, sf_dir):
     s = plan_summary(C.hash_split(docs))
     assert s["shuffles"] <= 1
     assert s["python_stages"] == 0
-    # segment_dedup: segment count-window + doc rollup + display sort only
+    # segment_dedup: hashed-key agg + salted dup-set join-back + doc rollup —
+    # NO count-window (a window on the segment key funnels every occurrence
+    # of a viral boilerplate segment into one partition); one more exchange
+    # than the window shape, bought for skew-immunity
     s2 = plan_summary(D.segment_dedup(docs))
-    assert s2["shuffles"] <= 3
+    assert "Window" not in executed_plan(D.segment_dedup(docs))
+    assert s2["shuffles"] <= 4
     assert s2["python_stages"] == 0
+
+
+def test_no_single_partition_windows_in_rank_consumers(spark, sf_dir):
+    """q47/q49/q55 scale gates: the three round-3 'weak' operators must not
+    plan an unpartitioned (single-task) Window, and packing must partition
+    its running sum by the bounded (source, shard) key."""
+    from maxx_spark.operators import corpus as C
+    from maxx_spark.operators import text as T
+    from maxx_spark.plans import executed_plan
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # vocab_build and quality_stratify(ranked): no Window operator at all
+    assert "Window" not in executed_plan(T.vocab_build(docs))
+    assert "Window" not in executed_plan(C.quality_stratify(docs))
+    # sequence_packing: windows remain, but every spec carries the shard key
+    # (partition or order column) — no source-only running sum anywhere
+    import re
+
+    p = executed_plan(C.sequence_packing(docs))
+    specs = re.findall(r"windowspecdefinition\([^)]*", p)
+    assert specs
+    for spec in specs:
+        assert "__shard" in spec, spec
