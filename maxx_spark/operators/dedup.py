@@ -295,9 +295,12 @@ def dedup_clusters(
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = 20, local_threshold: int = 100_000
+    pairs: DataFrame,
+    max_iters: int = 20,
+    local_threshold: int = 100_000,
+    algorithm: str = "propagation",
 ) -> DataFrame:
-    """Min-label propagation over an undirected (doc_a, doc_b) pair list →
+    """Connected components over an undirected (doc_a, doc_b) pair list →
     (doc_id, cluster_id, cluster_size), cluster_id = component min. See
     dedup_clusters for the scale analysis; exposed separately so the
     iteration is testable on crafted chain graphs (diameter > 1).
@@ -307,15 +310,57 @@ def connected_components(
     (localCheckpoint — also cuts the lineage to the expensive dedup plan),
     and when it is at most ``local_threshold`` edges the components are
     solved driver-side with union-find — identical output, none of the
-    per-round join/checkpoint/probe jobs. Above the threshold the
-    distributed min-label loop below runs unchanged; a near-dup pair graph
-    at corpus scale can be arbitrarily large, so the distributed path is
-    the default shape, not a fallback.
+    per-round join/checkpoint/probe jobs. Above the threshold one of two
+    distributed loops runs; a near-dup pair graph at corpus scale can be
+    arbitrarily large, so the distributed path is the default shape, not a
+    fallback.
+
+    ``algorithm``:
+
+    - ``"propagation"`` (default) — per-round min-label exchange with
+      neighbors; rounds = component DIAMETER. Right for dedup graphs,
+      whose components are near-cliques through the canonical text
+      (diameter <= 2-3).
+    - ``"star"`` — alternating large-star/small-star edge rewriting
+      (Kiveris et al. 2014, "Connected Components in MapReduce and
+      Beyond"): each round re-points high nodes at their neighborhood
+      minimum, collapsing any component to a star in O(log^2 n) rounds
+      regardless of diameter. Same per-round join+agg plan shape; the
+      variant to pick when the pair graph is adversarial (long chains —
+      e.g. near-dup thresholds loose enough to link drifting page
+      revisions into paths).
+
+    Both return byte-identical output (test-pinned on path and clique
+    graphs, where their round counts differ most).
     """
     pairs = pairs.localCheckpoint()
     n_edges = pairs.count()
     if n_edges <= local_threshold:
         return _cc_unionfind_local(pairs)
+    a, b = pairs.columns[0], pairs.columns[1]
+    undirected = pairs.select(F.col(a).alias("doc_a"), F.col(b).alias("doc_b"))
+    if algorithm == "star":
+        labels, _ = _cc_star(undirected, max_iters)
+    elif algorithm == "propagation":
+        labels, _ = _cc_propagation(undirected, max_iters)
+    else:
+        raise ValueError(f"unknown connected_components algorithm: {algorithm!r}")
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cc_propagation(pairs: DataFrame, max_iters: int):
+    """Min-label propagation loop → ((doc_id, label) DataFrame, rounds).
+    One shuffle join + agg per round; localCheckpoint cuts the lineage;
+    converges in diameter rounds."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
@@ -325,8 +370,9 @@ def connected_components(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    prev_sum = None
+    prev_sum, rounds = None, 0
     for _ in range(max_iters):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
@@ -347,16 +393,83 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
+    return labels, rounds
+
+
+def _cc_star(pairs: DataFrame, max_iters: int):
+    """Alternating large-star/small-star loop → ((doc_id, label), rounds).
+
+    large-star: every node u re-points its LARGER neighbors at
+    m(u) = min(N(u) ∪ {u}); small-star: orient edges high→low, every high
+    node re-points its smaller neighbors (and itself) at the neighborhood
+    min. Each half-round is one groupBy(min-agg) + one join — the same
+    shuffle shape as a propagation round — and the edge set monotonically
+    contracts toward per-component stars (node, component-min). Converges
+    in O(log^2 n) rounds on ANY graph; the convergence probe is the edge
+    multiset checksum (count + endpoint sums + order-free hash), which is
+    stationary exactly at the star fixpoint.
+    """
+    nodes = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    ).distinct().localCheckpoint()
+    edges = (
+        pairs.where(F.col("doc_a") != F.col("doc_b"))
         .select(
-            "doc_id",
-            F.col("label").alias("cluster_id"),
-            "cluster_size",
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
         )
-        .orderBy("doc_id")
+        .distinct()
+        .localCheckpoint()
     )
+
+    def _checksum(e):
+        # order-free set checksum: count + two independent xor-folded hashes
+        # (xor never overflows — a SUM of hashes could trip ANSI overflow)
+        row = e.agg(
+            F.count(F.lit(1)),
+            F.expr("bit_xor(xxhash64(hi, lo))"),
+            F.expr("bit_xor(xxhash64(lo, hi))"),
+        ).first()
+        return tuple(row)
+
+    prev, rounds = None, 0
+    for _ in range(max_iters):
+        rounds += 1
+        # large-star over the symmetrized graph: (v, m(u)) for v ∈ N(u), v > u
+        sym = edges.unionByName(
+            edges.select(F.col("lo").alias("hi"), F.col("hi").alias("lo"))
+        ).select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("mn", "u").alias("m"))
+        edges = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star on the high→low orientation: (v, m(u)) for
+        # v ∈ N(u) ∪ {u} \ {m}, where N(u) = smaller neighbors of u
+        m2 = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+        relink = (
+            edges.join(m2, "hi")
+            .where(F.col("lo") != F.col("m"))
+            .select(F.greatest("lo", "m").alias("hi"), F.least("lo", "m").alias("lo"))
+        )
+        selflink = m2.select(F.col("hi"), F.col("m").alias("lo"))
+        edges = relink.unionByName(selflink).distinct().localCheckpoint()
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint edges are per-component stars: hi → component min
+    labels = nodes.join(
+        edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("label")),
+        "doc_id",
+        "left",
+    ).select("doc_id", F.coalesce(F.col("label"), F.col("doc_id")).alias("label"))
+    return labels, rounds
 
 
 def segment_dedup(documents: DataFrame, k: int = 10, salts: int = 8) -> DataFrame:

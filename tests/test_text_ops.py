@@ -49,6 +49,51 @@ def test_connected_components_reversed_chain(spark):
         assert set(out.values()) == {1} and len(out) == 5, thr
 
 
+def test_connected_components_star_variant(spark):
+    """algorithm='star' (large-star/small-star) must (a) agree byte-for-byte
+    with union-find and with propagation on ordinary graphs, and (b) solve a
+    long PATH — propagation's worst case, where rounds = diameter — within a
+    round budget propagation provably blows."""
+    import random
+
+    from maxx_spark.operators.dedup import (
+        _cc_propagation,
+        _cc_star,
+        connected_components,
+    )
+
+    # ordinary graphs: random edges + a 3-node chain — star == others
+    rng = random.Random(3)
+    nodes = list(range(0, 400, 7))
+    random_pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in random_pairs if a != b] + [(900, 901), (901, 902)],
+        "doc_a long, doc_b long",
+    )
+    want = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in connected_components(pairs).collect()}  # union-find path
+    for algo in ("propagation", "star"):
+        got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+               for r in connected_components(pairs, local_threshold=0, algorithm=algo).collect()}
+        assert got == want, algo
+
+    # 120-node path, min at the far end: diameter 119. In 8 rounds
+    # propagation moves the min label only ~8 hops (not converged); star
+    # collapses the whole path to one root and converges strictly early.
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "doc_a long, doc_b long"
+    )
+    und = path.select(F.col("doc_a"), F.col("doc_b"))
+    prop_labels, prop_rounds = _cc_propagation(und, max_iters=8)
+    star_labels, star_rounds = _cc_star(und, max_iters=12)
+    star = {r["doc_id"]: r["label"] for r in star_labels.collect()}
+    assert star == {i: 0 for i in range(120)}
+    # O(log^2 n) contraction: 8 working rounds + 1 stationary confirm round
+    assert star_rounds <= 9, star_rounds
+    prop = {r["doc_id"]: r["label"] for r in prop_labels.collect()}
+    assert prop[119] != 0  # diameter-bound: propagation can't finish in 8
+
+
 def test_top_terms_tie_breaks(spark):
     """tf desc, then df asc (rarer wins), then term asc."""
     from maxx_spark.operators.text import top_terms
