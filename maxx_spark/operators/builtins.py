@@ -128,9 +128,9 @@ BUILTIN_NAMES: list[str] = [
 def all_builtin_names() -> list[str]:
     """Core + extended engine-owned names (builtins_names.py widens the
     dim toward the reference's coverage; still a few tens of KB)."""
-    from maxx_spark.operators.builtins_names import EXTENDED_NAMES
+    from maxx_spark.operators.builtins_names import COVERAGE_NAMES, EXTENDED_NAMES
 
-    return sorted(set(BUILTIN_NAMES) | set(EXTENDED_NAMES))
+    return sorted(set(BUILTIN_NAMES) | set(EXTENDED_NAMES) | set(COVERAGE_NAMES))
 
 
 def builtins_dim(spark) -> DataFrame:

@@ -248,18 +248,24 @@ def test_extended_builtins_resolve(spark, units):
     from maxx_spark.operators.builtins import all_builtin_names
     from maxx_spark.operators.codeunits import resolve_in_scope
 
-    assert len(all_builtin_names()) >= 1500
+    assert len(all_builtin_names()) >= 3500
+    # round-4 coverage additions: names a real corpus links that were
+    # previously unresolved — debugger (dbstop), legacy numerics (bsxfun),
+    # project API (currentProject), App Designer (uifigure's Slider), FITS
+    # I/O (fitsread was present; low-level readCol added), timers (timer)
+    probes = ("imread", "fitlm", "parpool", "dbstop", "bsxfun",
+              "currentProject", "timer", "readCol")
     reqs = spark.createDataFrame(
-        [("mega-mat.example.com", "Tracker", n) for n in ("imread", "fitlm", "parpool")],
+        [("mega-mat.example.com", "Tracker", n) for n in probes],
         "host string, scope_path string, name string",
     )
     out = {
         r["name"]: (r["resolution"], r["resolved_path"])
         for r in resolve_in_scope(units, reqs, builtins_df(spark)).collect()
     }
-    for n in ("imread", "fitlm", "parpool"):
+    for n in probes:
         res, path = out[n]
-        assert res == "builtin" and path.endswith(f"/{n}.html")
+        assert res == "builtin" and path.endswith(f"/{n.lower()}.html"), n
 
 
 def test_resolve_error_vs_unresolved(spark, units):
