@@ -351,6 +351,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_mixture_sample": lambda s, d: C.mixture_sample(_t(s, d, "documents")["documents"]),
         "q52_shard_assignment": lambda s, d: C.shard_assignment(_t(s, d, "documents")["documents"]),
         "q54_corpus_ingest": lambda s, d: corpus_ingest_mirror(_t(s, d, "documents")["documents"]),
+        # round-4 pipeline ops: per-doc benchmark decontamination, PII
+        # audit scan, lexical-diversity quality signals
+        "q56_decontamination_overlap": lambda s, d: T.decontamination_overlap(_t(s, d, "documents")["documents"]),
+        "q57_pii_scan": lambda s, d: T.pii_scan(_t(s, d, "documents")["documents"]),
+        "q58_lexical_diversity": lambda s, d: T.lexical_diversity(_t(s, d, "documents")["documents"]),
         # similarity search
         "q20_knn_bruteforce": lambda s, d: S.knn_cosine_bruteforce(_t(s, d, "embeddings")["embeddings"]),
         "q21_knn_lsh": lambda s, d: S.knn_cosine_lsh(_t(s, d, "embeddings")["embeddings"]),
@@ -1104,6 +1109,54 @@ WITH toks AS (
 SELECT (row_number() OVER (ORDER BY df DESC, tf DESC, term) - 1)::BIGINT AS vocab_id,
   term, tf, df
 FROM stats WHERE df >= 2 ORDER BY vocab_id
+""",
+        # q56 (operators/text.decontamination_overlap): distinct 3-gram
+        # shingles per doc (DuckDB slice is 1-based END-INCLUSIVE) LEFT
+        # joined against the shared q45 probe dim
+        "q56_decontamination_overlap": f"""
+WITH w AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS wa FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(wa[(i+1):(i+3)], ' ') AS shingle
+  FROM (SELECT doc_id, wa, unnest(generate_series(0, len(wa)::BIGINT - 3)) AS i FROM w)
+), p AS (
+  SELECT unnest({_probes_sql_list()}) AS probe
+)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+  count(p.probe)::BIGINT AS n_contaminated,
+  round(count(p.probe)::DOUBLE / count(*)::DOUBLE, 6) AS overlap_fraction
+FROM sh LEFT JOIN p ON sh.shingle = p.probe
+GROUP BY doc_id ORDER BY doc_id
+""",
+        # q57 (operators/text.pii_scan): patterns restricted to the
+        # Java-regex ∩ RE2 common dialect (\\d, \\b, literal classes)
+        "q57_pii_scan": """
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))::BIGINT AS n_ssn_like,
+  len(regexp_extract_all(text, '\\d{9,}'))::BIGINT AS n_long_digit_runs,
+  (CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
+         OR len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) > 0
+         OR len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) > 0
+         OR len(regexp_extract_all(text, '\\d{9,}')) > 0
+   THEN 1 ELSE 0 END)::INTEGER AS needs_scrub
+FROM documents ORDER BY doc_id
+""",
+        # q58 (operators/text.lexical_diversity)
+        "q58_lexical_diversity": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM}, ' ')) AS w FROM documents
+), per AS (
+  SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2
+)
+SELECT doc_id,
+  sum(c)::BIGINT AS n_tokens,
+  count(*)::BIGINT AS n_types,
+  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+  round(count(*)::DOUBLE / sum(c)::DOUBLE, 6) AS ttr,
+  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS hapax_frac
+FROM per GROUP BY doc_id ORDER BY doc_id
 """,
         # q54 (streaming/corpus.corpus_ingest_mirror — deterministic batch
         # mirror of the streaming ingest contract: quality gate >= 3,

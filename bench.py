@@ -64,6 +64,9 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q53_cohort_retention",
         "q54_corpus_ingest",
         "q55_vocab_build",
+        "q56_decontamination_overlap",
+        "q57_pii_scan",
+        "q58_lexical_diversity",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

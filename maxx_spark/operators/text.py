@@ -391,6 +391,17 @@ CONTAMINATION_PROBES = [
     "spark window window",
     "group agg row",
     "quantum flux capacitor",
+    # round-4 additions: denser benchmark dim so the per-doc overlap
+    # operator (q56) sees realistic multi-hit documents; shared with the
+    # per-probe scan (q45) — ONE benchmark definition, two views of it
+    "row column sort",
+    "stream table hash",
+    "part filter scan",
+    "window fast query",
+    "customer part join",
+    "data merge group",
+    "value spark vector",
+    "agg hash window",
 ]
 
 
@@ -419,6 +430,112 @@ def contamination_check(documents: DataFrame, probes: list[str] | None = None) -
             "first_doc_id",
         )
         .orderBy("probe")
+    )
+
+
+def decontamination_overlap(
+    documents: DataFrame, probes: list[str] | None = None, n: int = 3
+) -> DataFrame:
+    """Per-document benchmark-overlap fraction — the decontamination signal
+    LLM pipelines threshold on (a training document is dropped when too
+    many of its n-grams appear verbatim in an evaluation benchmark; the
+    GPT-3/Dolma-style n-gram rule). Shares the benchmark probe dim with
+    contamination_check (q45): q45 answers "which probes leaked, where";
+    this answers "which documents to drop, how contaminated".
+
+    Plan: distinct word n-grams per doc (array_distinct BEFORE explode —
+    zero exchanges, same shape as the dedup index), LEFT join against the
+    bounded probe dim (fixed literal — the legitimate broadcast case), one
+    map-side-combining groupBy(doc_id). Docs with fewer than ``n`` words
+    emit no row (no shingles — mirrored in the oracle).
+    """
+    from maxx_spark.operators.dedup import word_shingles
+
+    probes = CONTAMINATION_PROBES if probes is None else probes
+    spark = documents.sparkSession
+    pdf = spark.createDataFrame([(p,) for p in probes], "probe string")
+    sh = word_shingles(documents, n)
+    flagged = sh.join(F.broadcast(pdf), sh.shingle == pdf.probe, "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("probe").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_shingles").cast("double"), 6
+            ).alias("overlap_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# PII patterns — written to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): only \d, \b, literal classes, bounded quantifiers. Counts
+# are of NON-OVERLAPPING left-to-right matches (both engines' extract-all
+# semantics). The synthetic corpus contains no PII (the oracle pins the
+# all-zero scan deterministically); unit tests pin the positive cases.
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "n_ssn_like": r"\b\d{3}-\d{2}-\d{4}\b",
+    "n_long_digit_runs": r"\d{9,}",
+}
+
+
+def pii_scan(documents: DataFrame) -> DataFrame:
+    """Per-document PII indicator counts (emails, IPv4 addresses, SSN-shaped
+    triples, 9+-digit runs) plus a scrub flag — the pre-redaction audit pass
+    of a training-data pipeline. Pure projection (regexp_extract_all counts,
+    whole-stage codegen, zero exchanges beyond the display sort); redaction
+    itself would be the same expressions under regexp_replace."""
+    cols = [
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(rx), 0)).cast("long").alias(name)
+        for name, rx in PII_PATTERNS.items()
+    ]
+    has = None
+    for name in PII_PATTERNS:
+        c = F.col(name) > 0
+        has = c if has is None else (has | c)
+    return (
+        documents.select("doc_id", *cols)
+        .select("doc_id", *PII_PATTERNS, has.cast("int").alias("needs_scrub"))
+        .orderBy("doc_id")
+    )
+
+
+def lexical_diversity(documents: DataFrame) -> DataFrame:
+    """Per-document lexical-diversity stats: token count, type count
+    (distinct words), hapax count (words occurring exactly once in the
+    doc), type-token ratio and hapax fraction — the vocabulary-richness
+    quality signals (word-soup spam has TTR near 0; keyboard mash has TTR
+    near 1 with hapax_frac 1).
+
+    Plan: explode → groupBy(doc_id, word) → groupBy(doc_id): two
+    map-side-combining exchanges on uniform keys, integer-exact until the
+    single final rounding."""
+    toks = documents.select("doc_id", F.explode(_tok(F.col("text"))).alias("w"))
+    per = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(F.col("n_types").cast("double") / F.col("n_tokens").cast("double"), 6).alias("ttr"),
+            F.round(F.col("n_hapax").cast("double") / F.col("n_types").cast("double"), 6).alias("hapax_frac"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -150,3 +150,56 @@ def test_vocab_build_ids_and_min_df(spark):
     all_terms = vocab_build(docs, min_df=1).collect()
     assert [r["vocab_id"] for r in all_terms] == list(range(len(all_terms)))
     assert {r["term"] for r in all_terms} == {"alpha", "beta", "gamma", "delta"}
+
+
+def test_decontamination_overlap_fractions(spark):
+    """Exact per-doc overlap fractions against an explicit probe dim;
+    within-doc repeats of a shingle count once (distinct index); sub-n
+    docs emit no row."""
+    from maxx_spark.operators.text import decontamination_overlap
+
+    probes = ["b c d", "x y z"]
+    rows = [
+        "a b c d e",          # shingles: abc bcd cde -> 1/3 contaminated
+        "b c d b c d",        # bcd cdb dbc (distinct: bcd, cdb, dbc, ...) -> counted once
+        "p q r s",            # no overlap
+        "a b",                # < 3 words -> no row
+    ]
+    docs = _docs(spark, rows)
+    out = {r["doc_id"]: r for r in decontamination_overlap(docs, probes=probes).collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0]["n_shingles"], out[0]["n_contaminated"]) == (3, 1)
+    assert out[0]["overlap_fraction"] == round(1 / 3, 6)
+    assert out[1]["n_contaminated"] == 1  # 'b c d' present (twice in text, once distinct)
+    assert out[2]["n_contaminated"] == 0
+
+
+def test_pii_scan_patterns(spark):
+    """Positive cases the synthetic corpus lacks: emails, IPv4-shaped runs,
+    SSN-shaped triples, long digit runs; indicator counts, not validators
+    (999.999.999.999 intentionally matches the IPv4 SHAPE)."""
+    from maxx_spark.operators.text import pii_scan
+
+    rows = [
+        "contact me at jane.doe+spam@example.co.uk or bob@x.io today",
+        "server at 10.0.0.1 and backup 999.999.999.999 respond",
+        "ssn 123-45-6789 appears once; account 9876543210 is long",
+        "clean text with no identifiers at all",
+    ]
+    out = {r["doc_id"]: r for r in pii_scan(_docs(spark, rows)).collect()}
+    assert (out[0]["n_emails"], out[0]["needs_scrub"]) == (2, 1)
+    assert (out[1]["n_ipv4"], out[1]["needs_scrub"]) == (2, 1)
+    assert (out[2]["n_ssn_like"], out[2]["n_long_digit_runs"], out[2]["needs_scrub"]) == (1, 1, 1)
+    assert (out[3]["n_emails"], out[3]["n_ipv4"], out[3]["needs_scrub"]) == (0, 0, 0)
+
+
+def test_lexical_diversity_exact(spark):
+    from maxx_spark.operators.text import lexical_diversity
+
+    rows = ["a a b c", "unique words only here"]
+    out = {r["doc_id"]: r for r in lexical_diversity(_docs(spark, rows)).collect()}
+    r0 = out[0]
+    assert (r0["n_tokens"], r0["n_types"], r0["n_hapax"]) == (4, 3, 2)
+    assert r0["ttr"] == 0.75 and r0["hapax_frac"] == round(2 / 3, 6)
+    r1 = out[1]
+    assert r1["ttr"] == 1.0 and r1["hapax_frac"] == 1.0
