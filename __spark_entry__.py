@@ -352,7 +352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_shard_assignment": lambda s, d: C.shard_assignment(_t(s, d, "documents")["documents"]),
         "q54_corpus_ingest": lambda s, d: corpus_ingest_mirror(_t(s, d, "documents")["documents"]),
         # round-4 pipeline ops: per-doc benchmark decontamination, PII
-        # audit scan, lexical-diversity quality signals
+        # audit scan, lexical-diversity quality signals, and the composed
+        # end-to-end assembly chain (gate -> dedup -> split -> pack)
+        "q59_training_pipeline": lambda s, d: C.training_pipeline(_t(s, d, "documents")["documents"]),
         "q56_decontamination_overlap": lambda s, d: T.decontamination_overlap(_t(s, d, "documents")["documents"]),
         "q57_pii_scan": lambda s, d: T.pii_scan(_t(s, d, "documents")["documents"]),
         "q58_lexical_diversity": lambda s, d: T.lexical_diversity(_t(s, d, "documents")["documents"]),
@@ -1157,6 +1159,56 @@ SELECT doc_id,
   round(count(*)::DOUBLE / sum(c)::DOUBLE, 6) AS ttr,
   round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS hapax_frac
 FROM per GROUP BY doc_id ORDER BY doc_id
+""",
+        # q59 (operators/corpus.training_pipeline): the COMPOSED chain —
+        # quality gate -> exact dedup (canonical = min doc_id among GATED
+        # docs) -> train-split filter -> q47 packing over survivors; stage
+        # order is load-bearing and mirrored exactly
+        "q59_training_pipeline": f"""
+WITH t AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS w,
+    length(text) AS n_char,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+), q AS (
+  SELECT doc_id,
+    ((CASE WHEN len(w) >= 10 AND len(w) <= 100000 THEN 1 ELSE 0 END)
+     + (CASE WHEN (CASE WHEN len(w) > 0 THEN n_alpha::DOUBLE / len(w) ELSE 0.0 END) >= 2.0
+             AND (CASE WHEN len(w) > 0 THEN n_alpha::DOUBLE / len(w) ELSE 0.0 END) <= 12.0
+             THEN 1 ELSE 0 END)
+     + (CASE WHEN (CASE WHEN len(w) > 0 THEN len(list_filter(w, x -> x IN {en}))::DOUBLE / len(w) ELSE 0.0 END) >= 0.01
+             THEN 1 ELSE 0 END)
+     + (CASE WHEN (CASE WHEN n_char > 0 THEN n_punct::DOUBLE / n_char ELSE 0.0 END) <= 0.2
+             THEN 1 ELSE 0 END))::INTEGER AS quality
+  FROM t
+), gated AS (
+  SELECT d.* FROM documents d JOIN q USING (doc_id) WHERE q.quality >= 3
+), canon AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY md5({NORM})) AS cmin FROM gated
+), surv AS (
+  SELECT * FROM canon WHERE doc_id = cmin
+), train AS (
+  SELECT * FROM surv WHERE ({MD5I.format(x=FPNORM)} % 100) < 90
+), tok AS (
+  SELECT source, doc_id,
+    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tok
+  FROM train
+), o AS (
+  SELECT source, doc_id, n_tok,
+    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_offset
+  FROM tok
+)
+SELECT source, doc_id, n_tok, tok_offset,
+  CAST(floor(tok_offset / 256) AS BIGINT) AS seq_first,
+  CASE WHEN n_tok > 0 THEN CAST(floor((tok_offset + n_tok - 1) / 256) AS BIGINT)
+       ELSE CAST(floor(tok_offset / 256) AS BIGINT) END AS seq_last,
+  (CASE WHEN n_tok > 0
+        THEN CAST(floor((tok_offset + n_tok - 1) / 256) AS BIGINT)
+             - CAST(floor(tok_offset / 256) AS BIGINT) + 1
+        ELSE 0 END)::BIGINT AS n_seqs
+FROM o ORDER BY source, doc_id
 """,
         # q54 (streaming/corpus.corpus_ingest_mirror — deterministic batch
         # mirror of the streaming ingest contract: quality gate >= 3,

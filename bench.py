@@ -67,6 +67,7 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q56_decontamination_overlap",
         "q57_pii_scan",
         "q58_lexical_diversity",
+        "q59_training_pipeline",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

@@ -270,6 +270,40 @@ def shard_assignment(documents: DataFrame, n_shards: int = 16) -> DataFrame:
     )
 
 
+def training_pipeline(
+    documents: DataFrame,
+    min_quality: int = 3,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    budget: int = 256,
+    shard_size: int = 256,
+) -> DataFrame:
+    """The full dataset-assembly chain a user actually runs, composed as
+    ONE declarative plan: quality gate (composite >= ``min_quality``) →
+    exact content dedup (keep the min-doc_id canonical per normalized
+    text) → train-split selection (content hash) → sequence packing of the
+    survivors.
+
+    Exists for two reasons. Semantically it pins the COMPOSED contract
+    (offsets are computed over the post-filter survivor stream, so any
+    reordering of the stages would change the output — the oracle checks
+    the whole chain). Physically it demonstrates the operators fuse:
+    Catalyst plans the gate + dedup-window + split filters and the packing
+    windows in one job with no materialization barrier, and the scan reads
+    each document once.
+    """
+    from maxx_spark.operators.dedup import normalized
+    from pyspark.sql import Window as W
+
+    q = quality_parts(F.col("text"))["composite"]
+    gated = documents.where(q >= min_quality)
+    cmin = F.min("doc_id").over(W.partitionBy(F.md5(normalized(F.col("text")))))
+    surv = gated.withColumn("__cmin", cmin).where(F.col("doc_id") == F.col("__cmin")).drop("__cmin")
+    bucket, split = split_cols(train_pct, val_pct)
+    train = surv.withColumn("__b", bucket.cast("long")).where(F.col("__b") < train_pct).drop("__b")
+    return sequence_packing(train, budget=budget, shard_size=shard_size)
+
+
 def quality_stratify(
     documents: DataFrame, n_buckets: int = 10, method: str = "ranked"
 ) -> DataFrame:

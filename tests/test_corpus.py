@@ -240,3 +240,27 @@ def test_quality_stratify_methods_agree(spark):
     ranked = sorted(map(tuple, quality_stratify(docs, method="ranked").collect()))
     ntile = sorted(map(tuple, quality_stratify(docs, method="ntile").collect()))
     assert ranked == ntile
+
+
+def test_training_pipeline_composes_to_one_scan(spark, sf_dir):
+    """q59: gate -> dedup -> split -> pack fuses into one Catalyst plan —
+    the packing fan-out reuses its exchange (no rescan of the gated
+    corpus), no Python stage, and the output respects the stage order."""
+    from maxx_spark.operators.corpus import hash_split, training_pipeline
+    from maxx_spark.plans import executed_plan, plan_summary
+    from maxx_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = training_pipeline(docs)
+    rows = out.collect()  # finalize AQE
+    p = executed_plan(out)
+    # the packing fan-out (within-shard window vs shard totals) must REUSE
+    # the (source, shard) exchange, not rescan the gated corpus; counting
+    # FileScan strings is unreliable under AQE's nested plan reprints
+    assert "ReusedExchange" in p
+    assert plan_summary(out)["python_stages"] == 0
+    ids = {r["doc_id"] for r in rows}
+    assert 0 < len(ids) < docs.count()  # the chain actually filtered
+    # every emitted doc is in the train split (composition respected)
+    train_ids = {r["doc_id"] for r in hash_split(docs).collect() if r["split"] == "train"}
+    assert ids <= train_ids
