@@ -169,6 +169,25 @@ def test_corpus_assembly_plan_shapes(spark, sf_dir):
     assert s2["python_stages"] == 0
 
 
+def test_round4_text_op_plan_shapes(spark, sf_dir):
+    """q56-q59 gates: the probe dim is the ONLY broadcast hint in q56 (a
+    fixed literal benchmark — the legitimate case; hint count pinned
+    EXACTLY so an accidental hint on the corpus side fails the test);
+    pii_scan stays a pure projection; lexical_diversity and the composed
+    pipeline carry no hints and no Python stages."""
+    from maxx_spark.operators import corpus as C
+    from maxx_spark.operators import text as T
+    from maxx_spark.plans import broadcast_hint_count, plan_summary
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    assert broadcast_hint_count(T.decontamination_overlap(docs)) == 1
+    assert broadcast_hint_count(T.lexical_diversity(docs)) == 0
+    assert broadcast_hint_count(C.training_pipeline(docs)) == 0
+    s = plan_summary(T.pii_scan(docs))
+    assert s["shuffles"] == 0 and s["python_stages"] == 0  # pure projection
+    assert plan_summary(T.lexical_diversity(docs))["python_stages"] == 0
+
+
 def test_no_single_partition_windows_in_rank_consumers(spark, sf_dir):
     """q47/q49/q55 scale gates: the three round-3 'weak' operators must not
     plan an unpartitioned (single-task) Window, and packing must partition

@@ -43,3 +43,29 @@ def test_range_ranked_empty_and_single_row(spark):
     one = spark.createDataFrame([(5, 9)], "id long, v long")
     [r] = range_ranked(one, [F.asc("v"), F.asc("id")], "rk").collect()
     assert r["rk"] == 0 and r["id"] == 5
+
+
+def test_range_ranked_property_random(spark):
+    """Property check (hypothesis-driven data shapes, deterministic seeds):
+    for ANY multiset of (grp, val) rows with a unique id tiebreak and ANY
+    partition count, range_ranked == the single-window row_number."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 5), st.integers(-50, 50)), min_size=0, max_size=60
+        ),
+        nparts=st.integers(1, 9),
+    )
+    def check(rows, nparts):
+        df = spark.createDataFrame(
+            [(i, g, v) for i, (g, v) in enumerate(rows)], "id long, grp long, val long"
+        )
+        order = [F.asc("grp"), F.desc("val"), F.asc("id")]
+        got = {r["id"]: r["rk"]
+               for r in range_ranked(df, order, "rk", num_partitions=nparts).collect()}
+        want = {r["id"]: r["rk"] for r in _window_rank(df, order, "rk").collect()}
+        assert got == want
+
+    check()
