@@ -354,9 +354,11 @@ def quality_stratify(
     # rollup over the ranked rows, no window anywhere
     lang_tab = ranked.groupBy("lang").agg(
         F.min("__gr").alias("__start"), F.count(F.lit(1)).alias("__n")
-    )
+    ).withColumnRenamed("lang", "__lang")
     joined = (
-        ranked.join(lang_tab, "lang")
+        # null-safe equality: a NULL language is its own ntile partition in
+        # the window path, so the rank path must not drop those rows
+        ranked.join(lang_tab, F.col("lang").eqNullSafe(F.col("__lang"))).drop("__lang")
         .withColumn("__rho", F.col("__gr") - F.col("__start") + F.lit(1))  # 1-based in-lang rank
         .withColumn("__q", F.expr(f"__n DIV {int(n_buckets)}"))
         .withColumn("__r", F.pmod(F.col("__n"), F.lit(n_buckets)).cast("long"))

@@ -463,12 +463,14 @@ def _cc_star(pairs: DataFrame, max_iters: int):
         if cur == prev:
             break
         prev = cur
-    # fixpoint edges are per-component stars: hi → component min
-    labels = nodes.join(
-        edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("label")),
-        "doc_id",
-        "left",
-    ).select("doc_id", F.coalesce(F.col("label"), F.col("doc_id")).alias("label"))
+    # fixpoint edges are per-component stars: hi → component min. The
+    # min-agg also keeps the output one-row-per-node if the iteration cap
+    # were ever hit mid-contraction (a node still holding several lows) —
+    # at a true fixpoint it is the identity.
+    final = edges.groupBy(F.col("hi").alias("doc_id")).agg(F.min("lo").alias("label"))
+    labels = nodes.join(final, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("label"), F.col("doc_id")).alias("label")
+    )
     return labels, rounds
 
 

@@ -64,7 +64,10 @@ def range_ranked(
     """
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        try:
+            num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        except (TypeError, ValueError):  # e.g. a vendor "auto" setting
+            num_partitions = 200
     sorted_df = (
         df.repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)

@@ -237,9 +237,18 @@ def test_quality_stratify_methods_agree(spark):
         rows.append((i, text, lang, f"s{i % 3}"))
     rows += [(100, good, "xx", "s0"), (101, "??? !!!", "xx", "s0")]  # n=2 < 10 buckets
     docs = _docs(spark, rows)
-    ranked = sorted(map(tuple, quality_stratify(docs, method="ranked").collect()))
-    ntile = sorted(map(tuple, quality_stratify(docs, method="ntile").collect()))
+    # NULL language: its own ntile partition in the window path — the rank
+    # path must keep it too (null-safe join)
+    null_lang = spark.createDataFrame(
+        [(200, good, None, "s0", len(good)), (201, good + " more", None, "s0", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs = docs.unionByName(null_lang)
+    key = lambda t: (t[0] is None, t[0] or "", t[1:])
+    ranked = sorted(map(tuple, quality_stratify(docs, method="ranked").collect()), key=key)
+    ntile = sorted(map(tuple, quality_stratify(docs, method="ntile").collect()), key=key)
     assert ranked == ntile
+    assert sum(1 for t in ranked if t[0] is None) == 2  # null-lang rows kept
 
 
 def test_training_pipeline_composes_to_one_scan(spark, sf_dir):
