@@ -293,12 +293,21 @@ def training_pipeline(
     each document once.
     """
     from maxx_spark.operators.dedup import normalized
-    from pyspark.sql import Window as W
 
     q = quality_parts(F.col("text"))["composite"]
     gated = documents.where(q >= min_quality)
-    cmin = F.min("doc_id").over(W.partitionBy(F.md5(normalized(F.col("text")))))
-    surv = gated.withColumn("__cmin", cmin).where(F.col("doc_id") == F.col("__cmin")).drop("__cmin")
+    # canonical dedup as a SLIM rollup + doc_id semi-join, never a window
+    # on the content hash: a viral duplicate (the very thing dedup exists
+    # for) would funnel every full-text copy into one window partition,
+    # while the (hash, min doc_id) agg combines map-side and the join back
+    # runs on uniform doc_id keys — full text crosses the wire once
+    canon_ids = (
+        gated.select(F.md5(normalized(F.col("text"))).alias("__h"), "doc_id")
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = gated.join(canon_ids, "doc_id", "semi")
     bucket, split = split_cols(train_pct, val_pct)
     train = surv.withColumn("__b", bucket.cast("long")).where(F.col("__b") < train_pct).drop("__b")
     return sequence_packing(train, budget=budget, shard_size=shard_size)
