@@ -92,6 +92,13 @@ def _capped_shingles(documents: DataFrame, n: int, max_df: int) -> DataFrame:
     # filtered index emerges ALREADY partitioned on shingle — the exact
     # partitioning the downstream self-join keys on, so Catalyst reuses
     # the exchange instead of re-shuffling both sides.
+    # Caveat (measured trade, kept deliberately): a pathologically viral
+    # shingle lands in ONE window partition before the cap discards it,
+    # and AQE cannot split window partitions (it can split skewed joins).
+    # If that ever binds at scale, swap to the agg+join form — its join
+    # output is also shingle-partitioned, so the self-join exchange reuse
+    # survives and every skewed stage becomes AQE-splittable; locally the
+    # window form measured 7.5→5.0 s (round-3 A/B), which is why it stays.
     w = Window.partitionBy("shingle")
     return (
         word_shingles(documents, n)

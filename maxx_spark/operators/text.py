@@ -246,17 +246,19 @@ def corpus_filter(documents: DataFrame) -> DataFrame:
     and (3) its declared language matches the stopword language ID (or the
     ID abstains with 'und').
 
-    The rules and lang-ID are evaluated on ONE scan (joining the individual
-    operators' outputs would recompute the text-heavy branches once per
-    join subtree). Canonical-copy detection is a WINDOW over the text hash
-    computed on the same scan — min(doc_id) per hash partition — so there
-    is no join and, critically, no broadcast of a corpus-sized canonical
-    set (one row per distinct document ≈ the corpus itself at web scale;
-    a broadcast there is a guaranteed driver/executor OOM). Net cost at
-    any scale: one scan + ONE shuffle of slim (doc_id, langs, hash, keep)
-    rows, keyed by the uniform md5 hash — no skew. Emits survivors only."""
-    from pyspark.sql import Window
-
+    The rules and lang-ID are evaluated on ONE scan projection (joining
+    the individual operators' outputs would recompute the text-heavy
+    branches once per join subtree). Canonical-copy detection is a slim
+    (hash, min doc_id) rollup + a semi-join back on doc_id — and
+    critically neither a broadcast of a corpus-sized canonical set (OOM at
+    web scale; the round-2 bug) nor a window over the text hash (the
+    round-3 shape: one exchange, but a VIRAL duplicate — the thing dedup
+    exists for — funnels every copy into a single window partition, and
+    AQE can split skewed join partitions but never window partitions).
+    The rollup combines map-side, so the viral hash reaches its reducer as
+    one partial row per map task, and the semi-join runs on uniform
+    doc_id keys. Net cost: one scan + two slim skew-proof exchanges.
+    Emits survivors only."""
     from maxx_spark.operators.dedup import normalized
 
     s = _rep_stats(F.col("text"))
@@ -278,19 +280,22 @@ def corpus_filter(documents: DataFrame) -> DataFrame:
             & (F.col("s.bullet_frac") <= 0.90)
         ).alias("keep"),
     )
-    # canonical = min doc_id over ALL copies (window over the full set —
-    # the keep/lang filters apply after, matching exact_dedup semantics)
-    canonical = F.min("doc_id").over(Window.partitionBy("__h"))
+    # canonical = min doc_id over ALL copies (rollup over the full set —
+    # the keep/lang filters apply after, matching exact_dedup semantics;
+    # Catalyst prunes this branch to (hash, doc_id), so the heavy
+    # rep-stats/lang expressions are not recomputed here)
+    canon_ids = (
+        scored.groupBy("__h").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
     return (
-        scored.withColumn("__canon", canonical)
-        .where(
+        scored.where(
             F.col("keep")
-            & (F.col("doc_id") == F.col("__canon"))
             & (
                 (F.col("pred_lang") == F.col("declared_lang"))
                 | (F.col("pred_lang") == "und")
             )
         )
+        .join(canon_ids, "doc_id", "semi")
         .select("doc_id", "declared_lang", "pred_lang")
         .orderBy("doc_id")
     )

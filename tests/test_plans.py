@@ -114,8 +114,12 @@ def test_no_unbounded_broadcast_hints(spark, sf_dir):
         D.exact_dedup(docs),
     ):
         assert broadcast_hint_count(df) == 0
-    # corpus_filter's canonical pick is now a window, not a join at all
-    assert "Join" not in executed_plan(T.corpus_filter(docs))
+    # corpus_filter's canonical pick: a slim map-side-combined rollup plus
+    # a doc_id SEMI-join (round 4 — the round-3 window on the text hash
+    # put every copy of a viral duplicate in one window partition, which
+    # AQE cannot split; join skew it can). No Window on a content key.
+    p41 = executed_plan(T.corpus_filter(docs))
+    assert "Window" not in p41
 
 
 def test_builtin_expr_links_broadcast(spark):
