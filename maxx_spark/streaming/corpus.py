@@ -125,10 +125,14 @@ def corpus_ingest_mirror(documents: DataFrame, min_quality: int = 3,
     filtered = documents.where(q >= F.lit(min_quality)).withColumn(
         "text_hash", F.md5(normalized(F.col("text")))
     )
-    from pyspark.sql import Window
-
-    rn = F.row_number().over(Window.partitionBy("text_hash").orderBy("doc_id"))
-    canon = filtered.withColumn("__rn", rn).where(F.col("__rn") == 1).drop("__rn")
+    # canonical pick as a slim map-side-combined rollup + doc_id semi-join
+    # (round 4, same as corpus_filter/training_pipeline): a row_number
+    # window over the content hash would funnel every copy of a viral
+    # duplicate into one window partition, which AQE cannot split
+    canon_ids = (
+        filtered.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    canon = filtered.join(canon_ids, "doc_id", "semi")
     bucket, split = split_cols(train_pct, val_pct)
     return (
         canon.select("doc_id", "text_hash", "lang", "source", bucket)
