@@ -80,7 +80,9 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def drop_late_events(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+def drop_late_events(
+    events: DataFrame, delay: str = "10 minutes", num_partitions: int | None = None
+) -> DataFrame:
     """Watermark semantics expressed in batch (E2): processing order =
     event_id; watermark = max(ts) over all *previously arrived* events minus
     ``delay``; an event is late (dropped) iff ts < watermark.
@@ -89,16 +91,55 @@ def drop_late_events(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     ``withWatermark('ts', delay)`` when arrival order is event_id; the
     streaming pipeline is tested separately in tests/test_streaming.py.
 
-    NOTE ON SCALE: the unpartitioned running-max window here is a
-    single-reducer construct — it exists only as the *oracle-checkable batch
-    mirror* of watermark semantics at test SF. The production path is the
-    streaming watermark itself (maxx_spark/streaming/pipeline.py), where the
-    max-event-time aggregation is distributed by the engine.
+    Plan (the range_ranked shape, operators/ranking.py — NO unpartitioned
+    Window): the global exclusive running max decomposes into
+    ``greatest(max over all earlier partitions, max over earlier rows in my
+    partition)``.
+    1. ``repartitionByRange`` on event_id + local sort + ``localCheckpoint``
+       — partitions hold contiguous arrival ranges; the checkpoint pins the
+       sampled boundaries so the rollup job and the output job see the same
+       partitioning (and is the materializing action itself: eager=False, so
+       the bounded rollup's full scan persists it — one job, not two).
+    2. Bounded per-partition max(ts) rollup (one row per partition,
+       collected like range_ranked's counts), prefix-max on the driver,
+       joined back on partition id (bounded LocalRelation — Catalyst
+       broadcasts it unhinted).
+    3. The within-partition exclusive running max is a Window PARTITIONED
+       by __pid — every task sorts only its own contiguous range.
+    ``greatest`` skips NULLs, so the first partition (no prefix) and each
+    partition's first row (no local predecessor) fall out naturally.
     """
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    wm = F.max("ts").over(w) - F.expr(f"INTERVAL {delay}")
+    spark = events.sparkSession
+    if num_partitions is None:
+        try:
+            num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        except (TypeError, ValueError):
+            num_partitions = 200
+    arrived = (
+        events.repartitionByRange(num_partitions, "event_id")
+        .sortWithinPartitions("event_id")
+        .localCheckpoint(eager=False)
+        .withColumn("__pid", F.spark_partition_id().cast("long"))
+    )
+    # bounded rollup: one row per physical partition (this full scan also
+    # materializes the lazy checkpoint, pinning the range boundaries)
+    maxes = arrived.groupBy("__pid").agg(F.max("ts").alias("__mx")).collect()
+    prefix, acc = [], None
+    for row in sorted(maxes, key=lambda r: r["__pid"]):
+        prefix.append((row["__pid"], acc))
+        acc = row["__mx"] if acc is None else max(acc, row["__mx"])
+    if not prefix:
+        prefix = [(0, None)]
+    pre_df = spark.createDataFrame(prefix, "__pid long, __premax timestamp")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm = F.greatest(F.max("ts").over(w), F.col("__premax")) - F.expr(f"INTERVAL {delay}")
     return (
-        events.withColumn("__wm", wm)
+        arrived.join(pre_df, "__pid")
+        .withColumn("__wm", wm)
         .where(F.col("__wm").isNull() | (F.col("ts") >= F.col("__wm")))
         .select("event_id", "ts", "user_id", "event_type", "value")
     )

