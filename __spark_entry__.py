@@ -126,6 +126,34 @@ def _probes_sql_list() -> str:
     return "[" + ", ".join(f"'{p}'" for p in CONTAMINATION_PROBES) + "]"
 
 
+# Deterministic PII-bearing seed docs unioned into q57 on BOTH engines
+# (ADVICE r4: the synthetic corpus is PII-free, so the oracle previously
+# compared only zeros — these rows make the cross-engine check exercise
+# the positive paths and the dialect edge cases: \b between word chars
+# kills 987-65-4321x; 1234.5.6.7 forces the 4-octet backtrack to fail;
+# a1234567890b matches \d{9,} with no boundary; non-overlapping
+# left-to-right extract-all counts the 16-digit run once). Negative ids
+# keep clear of every real doc_id. No apostrophes (SQL literal safety).
+PII_SEED_DOCS: list[tuple[int, str]] = [
+    (-4, "contact alice.smith+spam@example.co.uk or bob@sub.domain.org today"),
+    (-3, "server at 10.0.0.1 and 192.168.300.12 but not 1234.5.6.7 ok"),
+    (-2, "ssn 123-45-6789 and 987-65-4321x and 12-345-6789 end"),
+    (-1, "card 4111111111111111 phone 123456789 mixed a1234567890b"),
+]
+
+
+def _pii_seed_values() -> str:
+    return ", ".join(f"(CAST({i} AS BIGINT), '{t}')" for i, t in PII_SEED_DOCS)
+
+
+def _q_pii_scan(s: SparkSession, d: str) -> DataFrame:
+    from maxx_spark.operators import text as T
+
+    docs = load_tables(s, d, ("documents",))["documents"].select("doc_id", "text")
+    seeds = s.createDataFrame(PII_SEED_DOCS, "doc_id long, text string")
+    return T.pii_scan(docs.unionByName(seeds))
+
+
 def _dedup_clusters_sql() -> str:
     """q44: connected components over the q13 pair graph via a recursive
     reachability CTE — cluster id = min reachable doc id (DuckDB's
@@ -356,7 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # end-to-end assembly chain (gate -> dedup -> split -> pack)
         "q59_training_pipeline": lambda s, d: C.training_pipeline(_t(s, d, "documents")["documents"]),
         "q56_decontamination_overlap": lambda s, d: T.decontamination_overlap(_t(s, d, "documents")["documents"]),
-        "q57_pii_scan": lambda s, d: T.pii_scan(_t(s, d, "documents")["documents"]),
+        "q57_pii_scan": _q_pii_scan,
         "q58_lexical_diversity": lambda s, d: T.lexical_diversity(_t(s, d, "documents")["documents"]),
         # similarity search
         "q20_knn_bruteforce": lambda s, d: S.knn_cosine_bruteforce(_t(s, d, "embeddings")["embeddings"]),
@@ -1131,8 +1159,15 @@ FROM sh LEFT JOIN p ON sh.shingle = p.probe
 GROUP BY doc_id ORDER BY doc_id
 """,
         # q57 (operators/text.pii_scan): patterns restricted to the
-        # Java-regex ∩ RE2 common dialect (\\d, \\b, literal classes)
+        # Java-regex ∩ RE2 common dialect (\\d, \\b, literal classes);
+        # PII_SEED_DOCS unioned on both engines so the cross-engine compare
+        # pins NONZERO counts and the boundary/backtrack edge cases
         "q57_pii_scan": """
+WITH pii_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES __PII_SEEDS__) AS v(doc_id, text)
+)
 SELECT doc_id,
   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
   len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ipv4,
@@ -1143,8 +1178,8 @@ SELECT doc_id,
          OR len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) > 0
          OR len(regexp_extract_all(text, '\\d{9,}')) > 0
    THEN 1 ELSE 0 END)::INTEGER AS needs_scrub
-FROM documents ORDER BY doc_id
-""",
+FROM pii_docs ORDER BY doc_id
+""".replace("__PII_SEEDS__", _pii_seed_values()),
         # q58 (operators/text.lexical_diversity)
         "q58_lexical_diversity": f"""
 WITH toks AS (

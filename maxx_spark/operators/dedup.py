@@ -481,7 +481,7 @@ def _cc_star(pairs: DataFrame, max_iters: int):
     return labels, rounds
 
 
-def segment_dedup(documents: DataFrame, k: int = 10, salts: int = 8) -> DataFrame:
+def segment_dedup(documents: DataFrame, k: int = 10, salts: int = 32) -> DataFrame:
     """CCNet-style sub-document dedup rollup: each document is cut into
     consecutive non-overlapping ``k``-word segments (the line/paragraph
     analogue for boundary-free web text); a segment is DUPLICATED when its
@@ -504,14 +504,22 @@ def segment_dedup(documents: DataFrame, k: int = 10, salts: int = 8) -> DataFram
        single partition;
     3. the dup SET (count > 1 — the flag saturates, exact counts are never
        needed) is replicated over ``salts`` buckets and LEFT-joined back on
-       (hash, salt(doc_id)): the probe side spreads a viral segment's rows
-       across ``salts`` partitions, the build side is the segment index
-       (not the corpus) and carries no broadcast hint;
+       (hash, salt(doc_id, position)): the probe side spreads a viral
+       segment's rows across ``salts`` partitions, the build side is the
+       segment index (not the corpus) and carries no broadcast hint;
     4. groupBy(doc_id) rollup.
 
     One more exchange than the count-window shape (agg + salted join-back
     vs one window) — bought deliberately: the window's single hot partition
     is the thing that dies first on web boilerplate at 100 TB.
+
+    Skew bound (ADVICE r4): salting spreads a viral segment over exactly
+    ``salts`` join partitions — a ceiling of 1/salts of the hot key per
+    task, NOT uniform; the default is 32 (≈3% ceiling) and the salt draws
+    entropy from (doc_id, segment position) so repeated occurrences inside
+    one document also spread. Residual hotspots beyond that rely on AQE
+    skew-join splitting (enabled in session.py); size ``salts`` ≈ target
+    parallelism for the 100 TB shape.
     """
     d = documents.select("doc_id", F.split(normalized(F.col("text")), " ").alias("__w"))
     w = F.col("__w")
@@ -522,8 +530,8 @@ def segment_dedup(documents: DataFrame, k: int = 10, salts: int = 8) -> DataFram
     seg = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i * k + j + 1) for j in range(k)])
     )
-    segs = d.select("doc_id", F.explode(seg).alias("segment")).select(
-        "doc_id", md5i(F.col("segment")).alias("__h")
+    segs = d.select("doc_id", F.posexplode(seg).alias("__pos", "segment")).select(
+        "doc_id", "__pos", md5i(F.col("segment")).alias("__h")
     )
     dup_set = (
         segs.groupBy("__h")
@@ -533,7 +541,8 @@ def segment_dedup(documents: DataFrame, k: int = 10, salts: int = 8) -> DataFram
         .withColumn("__dup", F.lit(1))
     )
     probe = segs.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(int(salts))).cast("int")
+        "__salt",
+        F.pmod(F.xxhash64(F.col("doc_id"), F.col("__pos")), F.lit(int(salts))).cast("int"),
     )
     flagged = probe.join(dup_set, ["__h", "__salt"], "left").select(
         "doc_id", F.coalesce(F.col("__dup"), F.lit(0)).alias("is_dup")

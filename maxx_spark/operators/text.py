@@ -410,6 +410,17 @@ CONTAMINATION_PROBES = [
 ]
 
 
+# A caller-supplied probe dim may be a real benchmark suite (millions of
+# n-grams) — forcing F.broadcast on it would violate the hint-only-on-
+# ABSOLUTELY-bounded-dims rule (ADVICE r4). Hint only below this count;
+# beyond it, AQE's size-based planning decides.
+_PROBE_HINT_MAX = 10_000
+
+
+def _hint_if_bounded(pdf: DataFrame, probes: list) -> DataFrame:
+    return F.broadcast(pdf) if len(probes) <= _PROBE_HINT_MAX else pdf
+
+
 def contamination_check(documents: DataFrame, probes: list[str] | None = None) -> DataFrame:
     """Benchmark-contamination scan: for each probe n-gram, the number of
     documents whose normalized text contains it verbatim, plus the first
@@ -423,7 +434,7 @@ def contamination_check(documents: DataFrame, probes: list[str] | None = None) -
     pdf = spark.createDataFrame([(p,) for p in probes], "probe string")
     hits = (
         documents.select("doc_id", normalized(F.col("text")).alias("__t"))
-        .join(F.broadcast(pdf), F.expr("contains(__t, probe)"))
+        .join(_hint_if_bounded(pdf, probes), F.expr("contains(__t, probe)"))
         .groupBy("probe")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc_id"))
     )
@@ -460,7 +471,7 @@ def decontamination_overlap(
     spark = documents.sparkSession
     pdf = spark.createDataFrame([(p,) for p in probes], "probe string")
     sh = word_shingles(documents, n)
-    flagged = sh.join(F.broadcast(pdf), sh.shingle == pdf.probe, "left")
+    flagged = sh.join(_hint_if_bounded(pdf, probes), sh.shingle == pdf.probe, "left")
     return (
         flagged.groupBy("doc_id")
         .agg(
