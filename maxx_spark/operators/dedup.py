@@ -305,7 +305,7 @@ def connected_components(
     pairs: DataFrame,
     max_iters: int = 20,
     local_threshold: int = 100_000,
-    algorithm: str = "propagation",
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components over an undirected (doc_a, doc_b) pair list →
     (doc_id, cluster_id, cluster_size), cluster_id = component min. See
@@ -324,20 +324,24 @@ def connected_components(
 
     ``algorithm``:
 
-    - ``"propagation"`` (default) — per-round min-label exchange with
-      neighbors; rounds = component DIAMETER. Right for dedup graphs,
-      whose components are near-cliques through the canonical text
-      (diameter <= 2-3).
+    - ``"auto"`` (default) — min-label propagation that ESCALATES to the
+      star algorithm when it has not converged after ``escalate_after``
+      rounds. Non-convergence after K rounds is itself the high-diameter
+      probe (a component of diameter <= K is already solved by then), so no
+      separate — and necessarily heuristic — structure sniff is needed: the
+      common dedup graph (near-cliques, diameter 2-3) pays zero extra
+      rounds, an adversarial chain graph pays K propagation rounds and then
+      contracts in O(log^2 n) star rounds on the label-quotient graph.
+    - ``"propagation"`` — per-round min-label exchange with neighbors;
+      rounds = component DIAMETER. Right for dedup graphs, whose
+      components are near-cliques through the canonical text.
     - ``"star"`` — alternating large-star/small-star edge rewriting
       (Kiveris et al. 2014, "Connected Components in MapReduce and
       Beyond"): each round re-points high nodes at their neighborhood
       minimum, collapsing any component to a star in O(log^2 n) rounds
-      regardless of diameter. Same per-round join+agg plan shape; the
-      variant to pick when the pair graph is adversarial (long chains —
-      e.g. near-dup thresholds loose enough to link drifting page
-      revisions into paths).
+      regardless of diameter. Same per-round join+agg plan shape.
 
-    Both return byte-identical output (test-pinned on path and clique
+    All return byte-identical output (test-pinned on path and clique
     graphs, where their round counts differ most).
     """
     pairs = pairs.localCheckpoint()
@@ -349,7 +353,9 @@ def connected_components(
     if algorithm == "star":
         labels, _ = _cc_star(undirected, max_iters)
     elif algorithm == "propagation":
-        labels, _ = _cc_propagation(undirected, max_iters)
+        labels, _, _ = _cc_propagation(undirected, max_iters)
+    elif algorithm == "auto":
+        labels, _ = _cc_auto(undirected, max_iters)
     else:
         raise ValueError(f"unknown connected_components algorithm: {algorithm!r}")
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -365,9 +371,11 @@ def connected_components(
 
 
 def _cc_propagation(pairs: DataFrame, max_iters: int):
-    """Min-label propagation loop → ((doc_id, label) DataFrame, rounds).
-    One shuffle join + agg per round; localCheckpoint cuts the lineage;
-    converges in diameter rounds."""
+    """Min-label propagation loop → ((doc_id, label) DataFrame, rounds,
+    converged). One shuffle join + agg per round; localCheckpoint cuts the
+    lineage; converges in diameter rounds. ``converged`` is True iff the
+    probe saw a stable fixpoint within the budget (the signal _cc_auto
+    escalates on)."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
@@ -377,7 +385,7 @@ def _cc_propagation(pairs: DataFrame, max_iters: int):
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    prev_sum, rounds = None, 0
+    prev_sum, rounds, converged = None, 0, False
     for _ in range(max_iters):
         rounds += 1
         neighbor_min = (
@@ -398,9 +406,53 @@ def _cc_propagation(pairs: DataFrame, max_iters: int):
         # fixpoint — one scalar agg per round, no data collect
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
-    return labels, rounds
+    return labels, rounds, converged
+
+
+def _cc_auto(pairs: DataFrame, max_iters: int, escalate_after: int = 4):
+    """Adaptive loop → ((doc_id, label), rounds): propagation for up to
+    ``escalate_after`` rounds, then — only if the fixpoint probe has not
+    fired — star on the LABEL-QUOTIENT graph (each original edge (a, b)
+    becomes (label(a), label(b)); self-loops drop, duplicates collapse).
+
+    Why the hand-off is exact: labels only decrease and the component-min
+    node keeps its own id forever, so the quotient component containing a
+    partially-converged component still contains the true min as a node,
+    and star labels every quotient node with it. Composing
+    node → propagation label → star label therefore yields exactly the
+    component min for every original node. Quotient nodes whose whole
+    component already collapsed to one label fall out of the quotient edge
+    set; the left join keeps their (already final) label.
+
+    The quotient graph is never larger than the input edge set and shrinks
+    by whatever progress the propagation rounds made — on the adversarial
+    long-chain graph it is the chain of surviving labels; on the common
+    dedup graph escalation never triggers at all.
+    """
+    labels, rounds, converged = _cc_propagation(pairs, min(escalate_after, max_iters))
+    if converged or rounds >= max_iters:
+        return labels, rounds
+    la = labels.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("__la"))
+    lb = labels.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("__lb"))
+    quotient = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .where(F.col("__la") != F.col("__lb"))
+        .select(F.col("__la").alias("doc_a"), F.col("__lb").alias("doc_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    star_labels, star_rounds = _cc_star(quotient, max_iters - rounds)
+    quot_final = star_labels.select(
+        F.col("doc_id").alias("label"), F.col("label").alias("__sl")
+    )
+    composed = labels.join(quot_final, "label", "left").select(
+        "doc_id", F.coalesce(F.col("__sl"), F.col("label")).alias("label")
+    )
+    return composed, rounds + star_rounds
 
 
 def _cc_star(pairs: DataFrame, max_iters: int):

@@ -72,7 +72,7 @@ def test_connected_components_star_variant(spark):
     )
     want = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
             for r in connected_components(pairs).collect()}  # union-find path
-    for algo in ("propagation", "star"):
+    for algo in ("propagation", "star", "auto"):
         got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
                for r in connected_components(pairs, local_threshold=0, algorithm=algo).collect()}
         assert got == want, algo
@@ -84,14 +84,48 @@ def test_connected_components_star_variant(spark):
         [(i, i + 1) for i in range(119)], "doc_a long, doc_b long"
     )
     und = path.select(F.col("doc_a"), F.col("doc_b"))
-    prop_labels, prop_rounds = _cc_propagation(und, max_iters=8)
+    prop_labels, prop_rounds, prop_conv = _cc_propagation(und, max_iters=8)
     star_labels, star_rounds = _cc_star(und, max_iters=12)
     star = {r["doc_id"]: r["label"] for r in star_labels.collect()}
     assert star == {i: 0 for i in range(120)}
     # O(log^2 n) contraction: 8 working rounds + 1 stationary confirm round
     assert star_rounds <= 9, star_rounds
+    assert prop_conv is False  # the signal auto escalates on
     prop = {r["doc_id"]: r["label"] for r in prop_labels.collect()}
     assert prop[119] != 0  # diameter-bound: propagation can't finish in 8
+
+
+def test_connected_components_auto_escalation(spark):
+    """The 'auto' selection rule: converge-in-K graphs never escalate
+    (propagation round count only); a diameter-119 path escalates after K
+    rounds and still lands the exact component min via the quotient-graph
+    star hand-off."""
+    from maxx_spark.operators.dedup import _cc_auto, _cc_propagation
+
+    # clique through a canonical doc (the common dedup shape, diameter 2):
+    # auto must stop inside the propagation budget — no escalation rounds
+    clique = spark.createDataFrame(
+        [(5, x) for x in (9, 23, 41)] + [(9, 23)], "doc_a long, doc_b long"
+    )
+    labels, rounds = _cc_auto(clique, max_iters=20, escalate_after=4)
+    assert rounds <= 4
+    assert {r["doc_id"]: r["label"] for r in labels.collect()} == {
+        5: 5, 9: 5, 23: 5, 41: 5,
+    }
+
+    # 120-node path, min at the end: propagation alone needs 119 rounds;
+    # auto runs K=4, hands the label-quotient chain to star, total rounds
+    # far below the diameter
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "doc_a long, doc_b long"
+    )
+    labels, rounds = _cc_auto(path, max_iters=20, escalate_after=4)
+    got = {r["doc_id"]: r["label"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(120)}
+    assert rounds < 119 // 2, rounds
+    # sanity: the same budget pure propagation provably cannot finish in
+    _, _, conv = _cc_propagation(path, max_iters=4)
+    assert conv is False
 
 
 def test_top_terms_tie_breaks(spark):
