@@ -46,7 +46,7 @@ def _jaccard_cte(threshold: float, max_df: int = 64) -> str:
 WITH toks AS (
   SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents
 ), sh0 AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  SELECT DISTINCT doc_id, {MD5I.format(x="w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS shingle
   FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks)
 ), sh AS (
   SELECT sh0.doc_id, sh0.shingle FROM sh0
@@ -86,10 +86,10 @@ def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.
 WITH toks AS (
   SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents
 ), sh AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  SELECT DISTINCT doc_id, {MD5I.format(x="w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS shingle
   FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks)
 ), x AS (
-  SELECT doc_id, shingle, ({MD5I.format(x='shingle')} % {1 << 31}) AS xi FROM sh
+  SELECT doc_id, shingle, (shingle % {1 << 31}) AS xi FROM sh
 ), sig AS (
   SELECT doc_id, {mins} FROM x GROUP BY doc_id
 ), banded AS (

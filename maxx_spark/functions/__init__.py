@@ -9,7 +9,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from maxx_spark.operators.dedup import md5i, normalized, word_shingles  # noqa: F401
+from maxx_spark.operators.dedup import (  # noqa: F401
+    md5i,
+    normalized,
+    word_shingle_keys,
+    word_shingles,
+)
 
 
 def host_of(url: Column | str) -> Column:

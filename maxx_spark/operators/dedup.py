@@ -78,6 +78,32 @@ def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
+def word_shingle_keys(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs where ``shingle`` is the 56-bit
+    md5i INTEGER key of the word n-gram — the dedup-index form (r4 VERDICT
+    item 5): every downstream exchange (the df count, the inverted-index
+    self-join, the candidate verify) moves 8-byte longs instead of the
+    n-gram strings (~25-40 bytes at n=3), and the minhash stage reuses the
+    key directly instead of re-hashing per row. md5i (not xxhash64) so the
+    DuckDB oracle reproduces the keyspace bit-exactly — hash collisions
+    (~n²/2^57) merge the same shingles on both engines.
+
+    Same construction as word_shingles otherwise: hash per array element,
+    array_distinct BEFORE the explode (zero exchanges; collisions collapse
+    locally exactly as DISTINCT-over-hash does in the oracle).
+    """
+    d = documents.select("doc_id", F.split(normalized(F.col("text")), " ").alias("__w"))
+    w = F.col("__w")
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: md5i(F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(n)])),
+    )
+    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
 def _capped_shingles(documents: DataFrame, n: int, max_df: int) -> DataFrame:
     """Shingle index with stop-shingle removal: shingles occurring in more
     than ``max_df`` documents are dropped *before* the self-join. A shingle
@@ -101,7 +127,7 @@ def _capped_shingles(documents: DataFrame, n: int, max_df: int) -> DataFrame:
     # window form measured 7.5→5.0 s (round-3 A/B), which is why it stays.
     w = Window.partitionBy("shingle")
     return (
-        word_shingles(documents, n)
+        word_shingle_keys(documents, n)
         .withColumn("__df", F.count(F.lit(1)).over(w))
         .where(F.col("__df") <= max_df)
         .drop("__df")
@@ -166,8 +192,10 @@ def minhash_signatures(
     """
     # deterministic (a_i, b_i) parameters — fixed literals, odd multipliers
     params = [((2 * i + 1) * 1_000_003 % _P, (i * i + i + 1) * 998_244_353 % _P) for i in range(num_hashes)]
-    sh = shingles if shingles is not None else word_shingles(documents, n)
-    x = md5i(F.col("shingle")) % F.lit(1 << 31)
+    sh = shingles if shingles is not None else word_shingle_keys(documents, n)
+    # a pre-hashed (long) index feeds x directly; a string index hashes here
+    key = F.col("shingle")
+    x = (key if dict(sh.dtypes)["shingle"] == "bigint" else md5i(key)) % F.lit(1 << 31)
     mins = [
         F.min((F.lit(a % _P) * x + F.lit(b % _P)) % F.lit(_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(params)
@@ -192,7 +220,7 @@ def minhash_lsh_pairs(
     at scale this is the difference between O(candidates) and O(n^2).
     """
     r = num_hashes // bands
-    sh0 = word_shingles(documents, n).cache()  # shared: signatures + verify
+    sh0 = word_shingle_keys(documents, n).cache()  # shared: signatures + verify
     sig = minhash_signatures(documents, num_hashes, n, shingles=sh0)
     banded = sig.select(
         "doc_id",
