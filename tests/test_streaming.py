@@ -480,3 +480,61 @@ def test_extraction_query_glob_root(spark, tmp_path):
     assert not any("/private/top_secret.m" in u for u in urls)  # excluded
     assert not any(u.endswith("/Contents.m") for u in urls)     # excluded
     assert not any("/helpers/" in u for u in urls)              # plain below +pkg
+
+
+def test_resolver_state_tracks_horizon_not_corpus(spark, tmp_path):
+    """E6 state bound at scale (VERDICT r4 item 8): 10,000 state keys
+    streamed across 10 event-time epochs 20 minutes apart; event-time
+    eviction must hold live state at the watermark horizon (~the last 3
+    epochs), never the corpus total — the README's "state tracks the live
+    crawl horizon, not the corpus" claim, measured on the engine's own
+    state-store metrics."""
+    import time as _time
+
+    src = str(tmp_path / "horizon_src")
+    schema = (
+        "url string, warc_ts timestamp, unit_path string, kind string, "
+        "bases array<string>"
+    )
+    t0 = dt.datetime(2024, 7, 1, 0, 0, 0)
+    n_epochs, per_epoch = 10, 500  # 2 keys/row (def C{k} + need B{k}) = 10k keys
+    for e in range(n_epochs):
+        ts = t0 + dt.timedelta(minutes=20 * e)
+        rows = [
+            (
+                f"https://h{k % 7}/p/C{k}.m",
+                ts,
+                f"C{k}",
+                "class",
+                [f"B{k}"],  # B{k} is never defined -> pending until eviction
+            )
+            for k in (e * per_epoch + i for i in range(per_epoch))
+        ]
+        before = set(glob.glob(f"{src}/*.parquet"))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        now = _time.time()
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (now + e * 60, now + e * 60))  # mtime = batch order
+
+    units = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    resolved = resolve_bases_stream(units, delay="10 minutes")
+    q = run_to_memory(resolved, "horizon_t", str(tmp_path / "horizon_ck"))
+
+    # epochs whose +10min timers sit below the final watermark flushed their
+    # pending needs as unresolved rows: epochs 0..6 by the last batch
+    # (watermark in batch j derives from batches < j)
+    rows = spark.sql("select * from horizon_t").collect()
+    unresolved = [r for r in rows if not r["resolved"]]
+    assert len(unresolved) >= per_epoch * (n_epochs - 3), len(unresolved)
+
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert progresses
+    final_rows = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    total_keys = 2 * n_epochs * per_epoch
+    live_horizon = 3 * 2 * per_epoch  # last 3 epochs' (def + need) keys
+    assert final_rows <= live_horizon + 200, (final_rows, live_horizon)
+    assert final_rows < total_keys // 2, (final_rows, total_keys)
+    # and the peak never approached the corpus either: eviction ran
+    # continuously, not only at the end
+    peak = max(p["stateOperators"][0]["numRowsTotal"] for p in progresses)
+    assert peak < total_keys, (peak, total_keys)
