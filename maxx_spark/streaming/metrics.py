@@ -26,6 +26,10 @@ class ThroughputListener(StreamingQueryListener):
                     "batch_id": p.batchId,
                     "num_input_rows": p.numInputRows,
                     "duration_ms": (p.durationMs or {}).get("triggerExecution"),
+                    # full engine breakdown (addBatch/getBatch/latestOffset/
+                    # queryPlanning/walCommit/commitOffsets) — the per-batch
+                    # FIXED-cost ledger the scaling protocol optimizes against
+                    "duration_breakdown_ms": dict(p.durationMs or {}),
                     "rows_per_sec": p.processedRowsPerSecond,
                 }
             )
