@@ -164,7 +164,11 @@ def run_level(master: str, cpus: str, src: str, zip_path: str, tag: str, mfpt: i
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages-small", type=int, default=30_000)
+    # 60k default: the r4 diagnosis showed 30k under-amortizes the 16-leg
+    # (~17 s leg pays JIT/bootstrap; legs must be >=25 s) and reads 0.71-0.74
+    # on 4v16 where the same box reads 0.86 at 60k — r5 run-1 reproduced the
+    # artifact by accident (the 60k finding never became the default)
+    ap.add_argument("--pages-small", type=int, default=60_000)
     # big pair: 200k pages / 512 files / mfpt=128 — large enough batches
     # that per-micro-batch fixed costs (listing, offset log, commit,
     # footer-lineage) amortize at 32 slots; 128 files per trigger = 4 task
@@ -206,10 +210,20 @@ def main() -> None:
     # 2-vs-8 pair: SAME adjacent-pair median protocol as 8-vs-32 (round-3
     # fix — best-of-N per leg let box drift between the two legs leak into
     # the ratio; adjacent pairing cancels it)
+    # Within-pair drift debias (r5): the two legs of a pair run
+    # back-to-back, so a monotone box-speed drift during the pair biases
+    # whichever leg runs SECOND; alternating the order per sample makes the
+    # bias change sign across samples and the median cancel it (the r5
+    # run-1 8v32 samples showed the 32-leg warming monotonically while the
+    # 8-leg ran after it every time).
     pairs_28 = []
     for k in range(3):
-        r8s = run_level("local[8]", "0-7", src_small, zip_path, f"n8s_{k}", 32, attempts=1)
-        r2 = run_level("local[2]", "0-1", src_small, zip_path, f"n2_{k}", 32, attempts=1)
+        if k % 2 == 0:
+            r8s = run_level("local[8]", "0-7", src_small, zip_path, f"n8s_{k}", 32, attempts=1)
+            r2 = run_level("local[2]", "0-1", src_small, zip_path, f"n2_{k}", 32, attempts=1)
+        else:
+            r2 = run_level("local[2]", "0-1", src_small, zip_path, f"n2_{k}", 32, attempts=1)
+            r8s = run_level("local[8]", "0-7", src_small, zip_path, f"n8s_{k}", 32, attempts=1)
         eff = r8s["pages_per_sec"] / (4.0 * r2["pages_per_sec"])
         pairs_28.append({"low": r2, "high": r8s, "efficiency": round(eff, 3)})
         print(f"pair2v8 {k}: eff={eff:.3f} "
@@ -226,8 +240,12 @@ def main() -> None:
     # shows; 16 slots do not). Same adjacent-pair median protocol.
     pairs_416 = []
     for k in range(3):
-        r16 = run_level("local[16]", "0-15", src_small, zip_path, f"n16_{k}", 64, attempts=1)
-        r4 = run_level("local[4]", "0-3", src_small, zip_path, f"n4_{k}", 32, attempts=1)
+        if k % 2 == 0:
+            r16 = run_level("local[16]", "0-15", src_small, zip_path, f"n16_{k}", 64, attempts=1)
+            r4 = run_level("local[4]", "0-3", src_small, zip_path, f"n4_{k}", 32, attempts=1)
+        else:
+            r4 = run_level("local[4]", "0-3", src_small, zip_path, f"n4_{k}", 32, attempts=1)
+            r16 = run_level("local[16]", "0-15", src_small, zip_path, f"n16_{k}", 64, attempts=1)
         eff = r16["pages_per_sec"] / (4.0 * r4["pages_per_sec"])
         pairs_416.append({"low": r4, "high": r16, "efficiency": round(eff, 3)})
         print(f"pair4v16 {k}: eff={eff:.3f} "
@@ -237,8 +255,12 @@ def main() -> None:
 
     pairs_raw = []
     for k in range(3):
-        r32 = run_level("local[32]", "0-31", src_big, zip_path, f"n32_{k}", mfpt32, attempts=1)
-        r8 = run_level("local[8]", "0-7", src_big, zip_path, f"n8_{k}", 128, attempts=1)
+        if k % 2 == 0:
+            r32 = run_level("local[32]", "0-31", src_big, zip_path, f"n32_{k}", mfpt32, attempts=1)
+            r8 = run_level("local[8]", "0-7", src_big, zip_path, f"n8_{k}", 128, attempts=1)
+        else:
+            r8 = run_level("local[8]", "0-7", src_big, zip_path, f"n8_{k}", 128, attempts=1)
+            r32 = run_level("local[32]", "0-31", src_big, zip_path, f"n32_{k}", mfpt32, attempts=1)
         eff = r32["pages_per_sec"] / (4.0 * r8["pages_per_sec"])
         pairs_raw.append({"low": r8, "high": r32, "efficiency": round(eff, 3)})
         print(f"pair {k}: eff={eff:.3f} "
@@ -249,8 +271,12 @@ def main() -> None:
     # same-session hardware-ceiling control ladder (adjacent pairs, median)
     ctrl_pairs = []
     for k in range(3):
-        c32 = independent_control(32)
-        c8 = independent_control(8)
+        if k % 2 == 0:
+            c32 = independent_control(32)
+            c8 = independent_control(8)
+        else:
+            c8 = independent_control(8)
+            c32 = independent_control(32)
         ctrl_pairs.append({"files_per_sec_8": c8, "files_per_sec_32": c32,
                            "efficiency": round(c32 / (4.0 * c8), 3)})
         print(f"ctrl {k}: eff={ctrl_pairs[-1]['efficiency']} (8: {c8}, 32: {c32})", flush=True)
