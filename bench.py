@@ -32,6 +32,8 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q06_tumbling_window",
         "q07_sliding_window",
         "q08_session_window",
+        "q09_late_data_window",  # r5: distributed watermark mirror (was the
+        # last unpartitioned WindowExec in the bench tail — VERDICT r4 #1)
         "q10_salted_agg",
         "q11_exact_dedup",
         "q12_ngram_jaccard",
