@@ -386,6 +386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_decontamination_overlap": lambda s, d: T.decontamination_overlap(_t(s, d, "documents")["documents"]),
         "q57_pii_scan": _q_pii_scan,
         "q58_lexical_diversity": lambda s, d: T.lexical_diversity(_t(s, d, "documents")["documents"]),
+        "q60_dup_span_fraction": lambda s, d: D.duplicated_span_stats(_t(s, d, "documents")["documents"]),
+        "q61_quality_classifier": lambda s, d: T.quality_classifier(_t(s, d, "documents")["documents"]),
         # similarity search
         "q20_knn_bruteforce": lambda s, d: S.knn_cosine_bruteforce(_t(s, d, "embeddings")["embeddings"]),
         "q21_knn_lsh": lambda s, d: S.knn_cosine_lsh(_t(s, d, "embeddings")["embeddings"]),
@@ -1194,6 +1196,60 @@ SELECT doc_id,
   round(count(*)::DOUBLE / sum(c)::DOUBLE, 6) AS ttr,
   round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS hapax_frac
 FROM per GROUP BY doc_id ORDER BY doc_id
+""",
+        # q60 (operators/dedup.duplicated_span_stats): per-doc fraction of
+        # distinct word 5-grams shared with >=1 other document (the
+        # exact-substring-dedup signal); keyspace mirrors word_shingle_keys
+        # (md5i of the 5-word concat), DISTINCT-per-doc before the df count
+        "q60_dup_span_fraction": f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    {MD5I.format(x="w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]")} AS shingle
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i FROM toks)
+), dfc AS (
+  SELECT shingle, count(*) AS c FROM sh GROUP BY 1
+), per AS (
+  SELECT sh.doc_id, count(*)::BIGINT AS total_ngrams,
+         sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_ngrams
+  FROM sh JOIN dfc USING (shingle) GROUP BY 1
+)
+SELECT d.doc_id,
+  COALESCE(total_ngrams, 0)::BIGINT AS total_ngrams,
+  COALESCE(dup_ngrams, 0)::BIGINT AS dup_ngrams,
+  CASE WHEN COALESCE(total_ngrams, 0) > 0
+       THEN round(dup_ngrams::DOUBLE / total_ngrams::DOUBLE, 6) ELSE 0.0 END AS dup_fraction
+FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id
+""",
+        # q61 (operators/text.quality_classifier): integer-weighted linear
+        # quality scorer — per-mille features via floor(1000*a/b) (exact
+        # cross-engine, see operator docstring), BIGINT dot product
+        "q61_quality_classifier": f"""
+WITH t AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS w,
+    length(text)::BIGINT AS n_char,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::BIGINT AS n_punct
+  FROM documents
+), f AS (
+  SELECT doc_id, n_char, n_alpha, n_punct,
+    len(w)::BIGINT AS n_tok,
+    len(list_filter(w, x -> x IN {en}))::BIGINT AS n_stop
+  FROM t
+), pm AS (
+  SELECT doc_id,
+    (CASE WHEN n_tok > 0 THEN floor(n_stop::DOUBLE * 1000.0 / n_tok::DOUBLE) ELSE 0 END)::BIGINT AS stop_pm,
+    (CASE WHEN n_char > 0 THEN floor(n_alpha::DOUBLE * 1000.0 / n_char::DOUBLE) ELSE 0 END)::BIGINT AS alpha_pm,
+    (CASE WHEN n_char > 0 THEN floor(n_punct::DOUBLE * 1000.0 / n_char::DOUBLE) ELSE 0 END)::BIGINT AS punct_pm,
+    (CASE WHEN n_tok < 10 THEN 0 WHEN n_tok < 50 THEN 1 WHEN n_tok < 200 THEN 2 ELSE 3 END)::BIGINT AS len_bucket
+  FROM f
+)
+SELECT doc_id, stop_pm, alpha_pm, punct_pm, len_bucket,
+  (3 * stop_pm + 2 * alpha_pm - 4 * punct_pm + 120 * len_bucket)::BIGINT AS q_score,
+  (CASE WHEN 3 * stop_pm + 2 * alpha_pm - 4 * punct_pm + 120 * len_bucket >= 2000
+        THEN 1 ELSE 0 END)::INTEGER AS keep
+FROM pm ORDER BY doc_id
 """,
         # q59 (operators/corpus.training_pipeline): the COMPOSED chain —
         # quality gate -> exact dedup (canonical = min doc_id among GATED

@@ -70,6 +70,8 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q57_pii_scan",
         "q58_lexical_diversity",
         "q59_training_pipeline",
+        "q60_dup_span_fraction",
+        "q61_quality_classifier",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

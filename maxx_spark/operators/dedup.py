@@ -714,3 +714,63 @@ def simhash32(documents: DataFrame) -> DataFrame:
         term = bit * F.lit(1 << i).cast("long")
         fp = term if fp is None else fp + term
     return agg.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
+
+
+def duplicated_span_stats(documents: DataFrame, n: int = 5) -> DataFrame:
+    """Per-document cross-corpus duplicated-span fraction: for each doc,
+    the share of its distinct word ``n``-grams that also occur in at least
+    one OTHER document — the per-document signal behind exact-substring
+    training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"), at word-n-gram granularity. Docs with
+    a high ``dup_fraction`` are boilerplate/mirror candidates even when no
+    single whole-doc duplicate exists.
+
+    Plan (all uniform 8-byte keys, no windows, no broadcasts):
+      1. distinct (doc_id, ngram-key) index via ``word_shingle_keys`` —
+         md5i 56-bit keys hashed inside the array transform,
+         array_distinct BEFORE the explode (zero exchanges to build);
+      2. doc-frequency per key: groupBy(shingle) count — map-side combine,
+         and because the index is distinct-per-doc the count IS the number
+         of distinct docs containing the n-gram;
+      3. join the index back on the key (both sides emerge partitioned on
+         ``shingle``, Catalyst reuses the exchange) and aggregate per doc.
+    A doc repeating its own phrase does NOT count as duplicated (the
+    distinct index collapses within-doc repeats); df >= 2 means >= 2
+    distinct documents share the span. At 100 TB every stage map-side
+    combines or joins on uniform hashed keys; a viral boilerplate n-gram
+    lands in one groupBy key (bounded output: one row) and its join
+    fan-back is row-per-(doc, key), AQE-splittable.
+
+    Cross-engine determinism: counts are BIGINT; the single ratio is
+    int/int rounded once (round-half-up identical on both engines for
+    positive exact doubles at 6 dp).
+    """
+    idx = word_shingle_keys(documents, n)
+    df = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    per = (
+        idx.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).alias("dup_ngrams"),
+        )
+    )
+    # left join back so short docs (< n words, no shingles) keep a 0/0 row
+    return (
+        documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("total_ngrams"), F.lit(0).cast("long")).alias("total_ngrams"),
+            F.coalesce(F.col("dup_ngrams"), F.lit(0).cast("long")).alias("dup_ngrams"),
+            F.when(
+                F.coalesce(F.col("total_ngrams"), F.lit(0)) > 0,
+                F.round(
+                    F.col("dup_ngrams").cast("double") / F.col("total_ngrams").cast("double"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )

@@ -596,3 +596,70 @@ def rolling_fingerprint(documents: DataFrame, window: int = 8, keep: int = 4) ->
         documents.select("doc_id", F.posexplode(sig(F.col("text"))).alias("sig_rank", "sig_hash"))
         .orderBy("doc_id", "sig_rank")
     )
+
+
+# Hand-set public-heuristic weights for the linear quality scorer below —
+# a fastText/logistic-regression-analogue "model-based quality filter"
+# (the classifier stage of LLM data-curation pipelines, cf. GPT-3 /
+# CCNet-style quality classifiers) with all-integer arithmetic so both
+# engines agree bit-for-bit. Weights favor stopword-bearing alphabetic
+# prose of nontrivial length and penalize punctuation soup.
+QUALITY_CLS_WEIGHTS = {"stop_pm": 3, "alpha_pm": 2, "punct_pm": -4, "len_bucket": 120}
+
+
+def quality_classifier(documents: DataFrame, threshold: int = 2000) -> DataFrame:
+    """Model-based quality filter: fixed integer-weighted linear scorer
+    over per-mille text statistics, with a keep/drop decision at
+    ``threshold``. The inference analogue of the trained quality
+    classifiers used for LLM corpus curation — weights are a public
+    heuristic (QUALITY_CLS_WEIGHTS), the *plan shape* is the deliverable:
+    a zero-shuffle pure projection (whole-stage codegen end-to-end, no
+    exchange beyond the display sort), so at 100 TB it runs at scan speed
+    and pushes nothing across the network.
+
+    Integer determinism: features are per-mille ratios computed as
+    floor(1000*a/b) over exact-int doubles — both operands < 2^53 so the
+    IEEE quotient of an integer-valued ratio is exact, and a non-integer
+    ratio with b <= 10^9 sits >= 1e-9 away from any integer (>> 1 ulp), so
+    floor() agrees across engines; the score is a BIGINT dot product.
+    """
+    text = F.col("text")
+    toks = _tok(text)
+    n_tok = F.size(toks).cast("long")
+    n_char = F.length(text).cast("long")
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("long")
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("long")
+    en = STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*en))).cast("long")
+
+    def _pm(a, b):
+        return F.when(b > 0, F.floor(a.cast("double") * 1000.0 / b.cast("double"))).otherwise(
+            F.lit(0)
+        ).cast("long")
+
+    stop_pm = _pm(n_stop, n_tok)
+    alpha_pm = _pm(n_alpha, n_char)
+    punct_pm = _pm(n_punct, n_char)
+    len_bucket = (
+        F.when(n_tok < 10, F.lit(0))
+        .when(n_tok < 50, F.lit(1))
+        .when(n_tok < 200, F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long")
+    )
+    w = QUALITY_CLS_WEIGHTS
+    score = (
+        F.lit(w["stop_pm"]).cast("long") * stop_pm
+        + F.lit(w["alpha_pm"]).cast("long") * alpha_pm
+        + F.lit(w["punct_pm"]).cast("long") * punct_pm
+        + F.lit(w["len_bucket"]).cast("long") * len_bucket
+    )
+    return documents.select(
+        "doc_id",
+        stop_pm.alias("stop_pm"),
+        alpha_pm.alias("alpha_pm"),
+        punct_pm.alias("punct_pm"),
+        len_bucket.alias("len_bucket"),
+        score.alias("q_score"),
+        (score >= F.lit(threshold)).cast("int").alias("keep"),
+    ).orderBy("doc_id")

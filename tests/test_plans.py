@@ -231,3 +231,20 @@ def test_drop_late_events_window_is_partitioned(spark, sf_dir):
     assert specs  # the within-partition exclusive running max
     for spec in specs:
         assert "__pid" in spec, spec
+
+
+def test_round5_new_op_plan_shapes(spark, sf_dir):
+    """q60/q61 gates: duplicated_span_stats carries no broadcast hints and
+    no Window (uniform hashed-key aggs + joins only); quality_classifier is
+    a pure projection — zero shuffles, zero Python stages (scan-speed at
+    100 TB)."""
+    from maxx_spark.operators import dedup as D
+    from maxx_spark.operators import text as T
+    from maxx_spark.plans import broadcast_hint_count, executed_plan, plan_summary
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    span = D.duplicated_span_stats(docs)
+    assert broadcast_hint_count(span) == 0
+    assert "Window" not in executed_plan(span)
+    s = plan_summary(T.quality_classifier(docs))
+    assert s["shuffles"] == 0 and s["python_stages"] == 0

@@ -237,3 +237,42 @@ def test_lexical_diversity_exact(spark):
     assert r0["ttr"] == 0.75 and r0["hapax_frac"] == round(2 / 3, 6)
     r1 = out[1]
     assert r1["ttr"] == 1.0 and r1["hapax_frac"] == 1.0
+
+
+def test_duplicated_span_stats_exact(spark):
+    """q60: cross-doc duplicated 5-gram fraction — one shared span counts
+    for both docs, within-doc repetition does NOT count, short docs get an
+    explicit 0/0 row."""
+    from maxx_spark.operators.dedup import duplicated_span_stats
+
+    rows = [
+        "one two three four five six",        # grams: {1-5, 2-6}; shares 1-5 with d1
+        "zero one two three four five",       # grams: {0-4, 1-5}
+        "totally different words here now",   # 1 unique gram
+        "too short",                          # < 5 words -> no grams
+        "x y z w v x y z w v",                # 5 distinct grams, all internal repeats
+    ]
+    out = {r["doc_id"]: r for r in duplicated_span_stats(_docs(spark, rows)).collect()}
+    assert (out[0]["total_ngrams"], out[0]["dup_ngrams"], out[0]["dup_fraction"]) == (2, 1, 0.5)
+    assert (out[1]["total_ngrams"], out[1]["dup_ngrams"], out[1]["dup_fraction"]) == (2, 1, 0.5)
+    assert (out[2]["total_ngrams"], out[2]["dup_ngrams"], out[2]["dup_fraction"]) == (1, 0, 0.0)
+    assert (out[3]["total_ngrams"], out[3]["dup_ngrams"], out[3]["dup_fraction"]) == (0, 0, 0.0)
+    assert (out[4]["total_ngrams"], out[4]["dup_ngrams"], out[4]["dup_fraction"]) == (5, 0, 0.0)
+
+
+def test_quality_classifier_exact(spark):
+    """q61: hand-computed per-mille features and BIGINT dot product.
+    Row 0: 8 tokens, 7 stopwords -> stop_pm floor(7000/8)=875; 17 alpha
+    chars of 24 -> alpha_pm floor(17000/24)=708; score 3*875+2*708=4041.
+    Row 1: punctuation soup -> punct_pm 1000, score -4000, dropped.
+    Row 2: single clean word -> alpha_pm 1000, score exactly at the 2000
+    threshold boundary -> kept."""
+    from maxx_spark.operators.text import quality_classifier
+
+    rows = ["the a of to is and in or", "!!!!", "abcd"]
+    out = {r["doc_id"]: r for r in quality_classifier(_docs(spark, rows)).collect()}
+    r0 = out[0]
+    assert (r0["stop_pm"], r0["alpha_pm"], r0["punct_pm"], r0["len_bucket"]) == (875, 708, 0, 0)
+    assert (r0["q_score"], r0["keep"]) == (4041, 1)
+    assert (out[1]["punct_pm"], out[1]["q_score"], out[1]["keep"]) == (1000, -4000, 0)
+    assert (out[2]["alpha_pm"], out[2]["q_score"], out[2]["keep"]) == (1000, 2000, 1)
