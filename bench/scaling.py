@@ -174,17 +174,27 @@ def main() -> None:
     # footer-lineage) amortize at 32 slots; 128 files per trigger = 4 task
     # waves at local[32], 16 at local[8], same input either way
     ap.add_argument("--pages-big", type=int, default=200_000)
+    # focused re-runs: run only the named pairs (e.g. --pairs 8_32 re-runs
+    # the full-box pair + its hardware-ceiling control in ~15 min instead
+    # of the ~40-min full ladder), optionally to a separate output file so
+    # the canonical scaling.json keeps the last FULL run
+    ap.add_argument("--pairs", default="2_8,4_16,8_32")
+    ap.add_argument("--out", default="scaling.json")
     args = ap.parse_args()
+    which = set(args.pairs.split(","))
 
     zip_path = "/tmp/engine.zip"
     build_zip(zip_path)
 
     src_small = "/tmp/maxx_scale_in_small"
     src_big = "/tmp/maxx_scale_in_big"
-    shutil.rmtree(src_small, ignore_errors=True)
-    shutil.rmtree(src_big, ignore_errors=True)
-    n_small = stage_input(src_small, args.pages_small, n_files=128)
-    n_big = stage_input(src_big, args.pages_big, n_files=512)
+    n_small = n_big = 0
+    if which & {"2_8", "4_16"}:
+        shutil.rmtree(src_small, ignore_errors=True)
+        n_small = stage_input(src_small, args.pages_small, n_files=128)
+    if "8_32" in which:
+        shutil.rmtree(src_big, ignore_errors=True)
+        n_big = stage_input(src_big, args.pages_big, n_files=512)
     print(f"staged {n_small} + {n_big} heavy pages", flush=True)
 
     sp = single_process_rate()
@@ -200,12 +210,13 @@ def main() -> None:
     # = 2 batches, still ~1 min — inside the VM's pre-throttle window.
     mfpt32 = 256
     probe = {}
-    for m in (128, 256):
-        r = run_level("local[32]", "0-31", src_big, zip_path, f"probe_{m}", m, attempts=1)
-        probe[m] = r["pages_per_sec"]
-        print(f"mfpt probe 32-leg: mfpt={m} -> {r['pages_per_sec']} p/s", flush=True)
-    mfpt32 = max(probe, key=probe.get)
-    print(f"mfpt for 32-leg pairs: {mfpt32}", flush=True)
+    if "8_32" in which:
+        for m in (128, 256):
+            r = run_level("local[32]", "0-31", src_big, zip_path, f"probe_{m}", m, attempts=1)
+            probe[m] = r["pages_per_sec"]
+            print(f"mfpt probe 32-leg: mfpt={m} -> {r['pages_per_sec']} p/s", flush=True)
+        mfpt32 = max(probe, key=probe.get)
+        print(f"mfpt for 32-leg pairs: {mfpt32}", flush=True)
 
     # 2-vs-8 pair: SAME adjacent-pair median protocol as 8-vs-32 (round-3
     # fix — best-of-N per leg let box drift between the two legs leak into
@@ -217,7 +228,7 @@ def main() -> None:
     # run-1 8v32 samples showed the 32-leg warming monotonically while the
     # 8-leg ran after it every time).
     pairs_28 = []
-    for k in range(3):
+    for k in range(3 if "2_8" in which else 0):
         if k % 2 == 0:
             r8s = run_level("local[8]", "0-7", src_small, zip_path, f"n8s_{k}", 32, attempts=1)
             r2 = run_level("local[2]", "0-1", src_small, zip_path, f"n2_{k}", 32, attempts=1)
@@ -229,7 +240,7 @@ def main() -> None:
         print(f"pair2v8 {k}: eff={eff:.3f} "
               f"(2: {r2['pages_per_sec']}, 8: {r8s['pages_per_sec']})", flush=True)
     effs_28 = sorted(p["efficiency"] for p in pairs_28)
-    med_28 = effs_28[len(effs_28) // 2]
+    med_28 = effs_28[len(effs_28) // 2] if effs_28 else None
     # 8-vs-32 pair: the box's throughput drifts ±40% over tens of minutes
     # (shared VM), so the two legs run back-to-back as ADJACENT pairs and
     # the reported efficiency is the median of the pairwise ratios — a
@@ -239,7 +250,7 @@ def main() -> None:
     # bandwidth — a machine property the independent-process control also
     # shows; 16 slots do not). Same adjacent-pair median protocol.
     pairs_416 = []
-    for k in range(3):
+    for k in range(3 if "4_16" in which else 0):
         if k % 2 == 0:
             r16 = run_level("local[16]", "0-15", src_small, zip_path, f"n16_{k}", 64, attempts=1)
             r4 = run_level("local[4]", "0-3", src_small, zip_path, f"n4_{k}", 32, attempts=1)
@@ -251,10 +262,10 @@ def main() -> None:
         print(f"pair4v16 {k}: eff={eff:.3f} "
               f"(4: {r4['pages_per_sec']}, 16: {r16['pages_per_sec']})", flush=True)
     effs_416 = sorted(p["efficiency"] for p in pairs_416)
-    med_416 = effs_416[len(effs_416) // 2]
+    med_416 = effs_416[len(effs_416) // 2] if effs_416 else None
 
     pairs_raw = []
-    for k in range(3):
+    for k in range(3 if "8_32" in which else 0):
         if k % 2 == 0:
             r32 = run_level("local[32]", "0-31", src_big, zip_path, f"n32_{k}", mfpt32, attempts=1)
             r8 = run_level("local[8]", "0-7", src_big, zip_path, f"n8_{k}", 128, attempts=1)
@@ -266,11 +277,11 @@ def main() -> None:
         print(f"pair {k}: eff={eff:.3f} "
               f"(8: {r8['pages_per_sec']}, 32: {r32['pages_per_sec']})", flush=True)
     effs = sorted(p["efficiency"] for p in pairs_raw)
-    med = effs[len(effs) // 2]
+    med = effs[len(effs) // 2] if effs else None
 
     # same-session hardware-ceiling control ladder (adjacent pairs, median)
     ctrl_pairs = []
-    for k in range(3):
+    for k in range(3 if "8_32" in which else 0):
         if k % 2 == 0:
             c32 = independent_control(32)
             c8 = independent_control(8)
@@ -281,35 +292,35 @@ def main() -> None:
                            "efficiency": round(c32 / (4.0 * c8), 3)})
         print(f"ctrl {k}: eff={ctrl_pairs[-1]['efficiency']} (8: {c8}, 32: {c32})", flush=True)
     ctrl_effs = sorted(p["efficiency"] for p in ctrl_pairs)
-    ctrl_med = ctrl_effs[len(ctrl_effs) // 2]
+    ctrl_med = ctrl_effs[len(ctrl_effs) // 2] if ctrl_effs else None
 
     result = {
         "single_process": sp,
         "pair_2_8": {
             "samples": pairs_28,
             "median_efficiency": med_28,
-            "pass_0_8": med_28 >= 0.8,
+            "pass_0_8": (med_28 >= 0.8) if med_28 is not None else None,
         },
         "pair_4_16": {
             "samples": pairs_416,
             "median_efficiency": med_416,
-            "pass_0_8": med_416 >= 0.8,
+            "pass_0_8": (med_416 >= 0.8) if med_416 is not None else None,
         },
         "mfpt_probe_32_leg": {"probe": probe, "chosen": mfpt32},
         "pair_8_32": {
             "samples": pairs_raw,
             "median_efficiency": med,
-            "pass_0_8": med >= 0.8,
+            "pass_0_8": (med >= 0.8) if med is not None else None,
         },
         "independent_process_control_8_32": {
             "samples": ctrl_pairs,
             "median_efficiency": ctrl_med,
         },
-        "streaming_vs_hardware_ceiling": round(med / ctrl_med, 3) if ctrl_med else None,
+        "streaming_vs_hardware_ceiling": round(med / ctrl_med, 3) if (med and ctrl_med) else None,
         "input_pages": {"small": n_small, "big": n_big},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", args.out), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
