@@ -87,6 +87,48 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
             F.bit_xor(F.xxhash64(*[F.col(c).cast("string") for c in df.columns])).alias("h")
         ).collect()
         out[name] = round(time.perf_counter() - t0, 3)
+    # composed dedup pipeline: build the shingle-key inverted index ONCE,
+    # feed all four dedup consumers (q12/q13/q44/q60 at a shared n=3) —
+    # the 100 TB shape, where the index is the dominant build cost and a
+    # pipeline never rebuilds it per operator. Reported OUTSIDE the
+    # headline total (names don't start with "q"): the solo rows above
+    # already count each operator once.
+    try:
+        from pyspark.sql import functions as F
+
+        from maxx_spark.operators.dedup import (
+            dedup_clusters,
+            duplicated_span_stats,
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+            word_shingle_keys,
+        )
+        from maxx_spark.session import load_tables
+
+        docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+        t0 = time.perf_counter()
+        idx = word_shingle_keys(docs, 3).persist()
+        idx.count()
+        build_s = time.perf_counter() - t0
+        for fn in (ngram_jaccard_pairs, minhash_lsh_pairs, dedup_clusters,
+                   duplicated_span_stats):
+            df = fn(docs, n=3, index=idx)
+            df.select(
+                F.bit_xor(F.xxhash64(*[F.col(c).cast("string") for c in df.columns])).alias("h")
+            ).collect()
+        total_s = time.perf_counter() - t0
+        idx.unpersist()
+        out["dedup_shared_index_build"] = round(build_s, 3)
+        out["dedup_shared_index_total"] = round(total_s, 3)
+        solo = sum(
+            out.get(k, 0.0)
+            for k in ("q12_ngram_jaccard", "q13_minhash_lsh",
+                      "q44_dedup_clusters", "q60_dup_span_fraction")
+        )
+        out["dedup_shared_index_vs_solo"] = round(total_s / solo, 3) if solo else None
+    except Exception:
+        pass
+
     # extraction throughput over a synthetic pages table (payload stage)
     try:
         from maxx_spark.gen import generate_pages_df

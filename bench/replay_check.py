@@ -70,13 +70,17 @@ def _committed_fingerprint(out_dir: str) -> dict:
     # not accept map columns); key and map-entry order is deterministic —
     # the same extraction code builds the structures in both legs
     j = df.select(F.to_json(F.struct(*df.columns)).alias("j"))
+    # bit_xor alone cancels rows with even multiplicity; the exact DECIMAL
+    # sum of the same hashes is multiplicity-sensitive and still order-free,
+    # so the pair pins the committed multiset (up to hash collisions)
     row = j.agg(
         F.count(F.lit(1)).alias("rows"),
         F.countDistinct("j").alias("distinct_rows"),
         F.expr("bit_xor(xxhash64(j))").alias("xor_fold"),
+        F.sum(F.xxhash64("j").cast("decimal(38,0)")).alias("sum_fold"),
     ).first()
     fp = {"rows": row["rows"], "distinct_rows": row["distinct_rows"],
-          "xor_fold": row["xor_fold"]}
+          "xor_fold": row["xor_fold"], "sum_fold": str(row["sum_fold"])}
     spark.stop()
     return fp
 

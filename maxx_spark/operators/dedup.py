@@ -104,7 +104,9 @@ def word_shingle_keys(documents: DataFrame, n: int = 3) -> DataFrame:
     return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
-def _capped_shingles(documents: DataFrame, n: int, max_df: int) -> DataFrame:
+def _capped_shingles(
+    documents: DataFrame, n: int, max_df: int, index: DataFrame | None = None
+) -> DataFrame:
     """Shingle index with stop-shingle removal: shingles occurring in more
     than ``max_df`` documents are dropped *before* the self-join. A shingle
     shared by d docs contributes d^2 join rows — without the cap one viral
@@ -126,8 +128,9 @@ def _capped_shingles(documents: DataFrame, n: int, max_df: int) -> DataFrame:
     # survives and every skewed stage becomes AQE-splittable; locally the
     # window form measured 7.5→5.0 s (round-3 A/B), which is why it stays.
     w = Window.partitionBy("shingle")
+    idx = index if index is not None else word_shingle_keys(documents, n)
     return (
-        word_shingle_keys(documents, n)
+        idx
         .withColumn("__df", F.count(F.lit(1)).over(w))
         .where(F.col("__df") <= max_df)
         .drop("__df")
@@ -135,10 +138,20 @@ def _capped_shingles(documents: DataFrame, n: int, max_df: int) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.05, max_df: int = 64
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.05,
+    max_df: int = 64,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via inverted index self-join (on the
     stop-shingle-filtered universe, see _capped_shingles).
+
+    ``index``: optional pre-built ``word_shingle_keys(documents, n)`` table
+    — a 100 TB pipeline running several dedup consumers (q12/q13/q44/q60)
+    builds the (doc_id, shingle-key) inverted index ONCE, persists it, and
+    passes it to each; the caller owns persistence and must build it from
+    the SAME documents at the SAME n. Default (None) builds it inline.
 
     |A∩B| from the shingle join; |A|,|B| from per-doc counts, attached via
     SHUFFLE joins keyed by doc id — `sizes` has one row per document, and
@@ -151,7 +164,7 @@ def ngram_jaccard_pairs(
     doc_a < doc_b; the Jaccard ratio is re-derivable exactly from the two
     integers, so no float leaves the operator.
     """
-    sh = _capped_shingles(documents, n, max_df).cache()
+    sh = _capped_shingles(documents, n, max_df, index=index).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -211,6 +224,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.05,
     max_df: int = 64,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs verified with exact Jaccard (the 100 TB
     dedup path): band the signature (rows_per_band = num_hashes/bands),
@@ -218,9 +232,14 @@ def minhash_lsh_pairs(
 
     Verification joins back to the shingle index only for candidate pairs —
     at scale this is the difference between O(candidates) and O(n^2).
+
+    ``index``: optional pre-built shingle-key index shared across dedup
+    consumers (see ngram_jaccard_pairs) — caller owns persistence.
     """
     r = num_hashes // bands
-    sh0 = word_shingle_keys(documents, n).cache()  # shared: signatures + verify
+    # shared: signatures + verify (cache only the inline build; a passed
+    # index's persistence is the caller's)
+    sh0 = index if index is not None else word_shingle_keys(documents, n).cache()
     sig = minhash_signatures(documents, num_hashes, n, shingles=sh0)
     banded = sig.select(
         "doc_id",
@@ -300,6 +319,7 @@ def dedup_clusters(
     threshold: float = 0.05,
     max_df: int = 64,
     max_iters: int = 20,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the verified
     MinHash-LSH pair graph, labelling every clustered doc with the min
@@ -324,7 +344,7 @@ def dedup_clusters(
     """
     pairs = minhash_lsh_pairs(
         documents, num_hashes=num_hashes, bands=bands, n=n,
-        threshold=threshold, max_df=max_df,
+        threshold=threshold, max_df=max_df, index=index,
     ).select("doc_a", "doc_b")
     return connected_components(pairs, max_iters=max_iters)
 
@@ -716,7 +736,9 @@ def simhash32(documents: DataFrame) -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
 
 
-def duplicated_span_stats(documents: DataFrame, n: int = 5) -> DataFrame:
+def duplicated_span_stats(
+    documents: DataFrame, n: int = 5, index: DataFrame | None = None
+) -> DataFrame:
     """Per-document cross-corpus duplicated-span fraction: for each doc,
     the share of its distinct word ``n``-grams that also occur in at least
     one OTHER document — the per-document signal behind exact-substring
@@ -744,8 +766,13 @@ def duplicated_span_stats(documents: DataFrame, n: int = 5) -> DataFrame:
     Cross-engine determinism: counts are BIGINT; the single ratio is
     int/int rounded once (round-half-up identical on both engines for
     positive exact doubles at 6 dp).
+
+    ``index``: optional pre-built ``word_shingle_keys(documents, n)`` table
+    shared across dedup consumers (see ngram_jaccard_pairs) — note the
+    shared-pipeline caller then fixes ONE n for all consumers (this
+    operator's standalone default is 5-gram spans).
     """
-    idx = word_shingle_keys(documents, n)
+    idx = index if index is not None else word_shingle_keys(documents, n)
     df = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     per = (
         idx.join(df, "shingle")

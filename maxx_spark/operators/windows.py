@@ -127,7 +127,10 @@ def drop_late_events(
     prefix, acc = [], None
     for row in sorted(maxes, key=lambda r: r["__pid"]):
         prefix.append((row["__pid"], acc))
-        acc = row["__mx"] if acc is None else max(acc, row["__mx"])
+        # an all-null-ts partition yields __mx=None: skip it (SQL max ignores
+        # NULLs; greatest() skips a NULL premax downstream the same way)
+        if row["__mx"] is not None:
+            acc = row["__mx"] if acc is None else max(acc, row["__mx"])
     if not prefix:
         prefix = [(0, None)]
     pre_df = spark.createDataFrame(prefix, "__pid long, __premax timestamp")

@@ -122,6 +122,61 @@ def test_no_unbounded_broadcast_hints(spark, sf_dir):
     assert "Window" not in p41
 
 
+def test_top_parts_no_rank_window(spark, sf_dir):
+    """q03 scale gate (round 6): no Window anywhere — the per-brand top-k is
+    k bounded max_by aggregations whose shuffles move |brands| x partials
+    rows, never a 25-partition rank sort whose per-task rows scale with SF
+    (VERDICT r5 item 3)."""
+    from maxx_spark.plans import executed_plan
+
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    df = R.top_parts_by_brand(t["lineitem"], t["part"])
+    df.collect()
+    assert "Window" not in executed_plan(df)
+
+
+def test_no_unbounded_broadcast_hints_all_queries(spark, sf_dir):
+    """Registry-wide gate (round 6): EVERY queries() plan is swept for
+    explicit broadcast hints — a hint forces the broadcast at ANY scale, so
+    the only admissible hints are on fixed/bounded dims, pinned here with
+    EXACT counts (an accidental hint on an SF-scaling side changes the count
+    and fails). The r5 verdict's scale-killer — F.broadcast(customer/part)
+    on linearly-SF-scaling TPC-H dims in q02/q03 — lived outside the old
+    hand-listed sweep; iterating the registry closes that class of bug."""
+    import importlib.util
+    import os
+
+    from maxx_spark.plans import broadcast_hint_count
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_gate", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    # fixed/bounded-dim hints only: nation+region (25/5 rows), literal
+    # contamination probes, literal query vectors, k-means centroids
+    # (+ probe set), literal band boundaries, builtins dim (+ exploded
+    # point-lookup requests), builtins doc-link dim.
+    allowed = {
+        "q02_revenue_by_nation": 2,
+        "q45_contamination": 1,
+        "q56_decontamination_overlap": 1,
+        "q20_knn_bruteforce": 1,
+        "q21_knn_lsh": 1,
+        "q38_ivf_knn": 2,
+        "q28_range_join_bands": 1,
+        "q35_scope_resolution": 8,
+        "q37_builtin_doc_links": 1,
+    }
+    bad = {}
+    for name, fn in entry.queries().items():
+        n = broadcast_hint_count(fn(spark, sf_dir))
+        if n != allowed.get(name, 0):
+            bad[name] = (n, allowed.get(name, 0))
+    assert not bad, f"unexpected broadcast-hint counts (got, expected): {bad}"
+
+
 def test_builtin_expr_links_broadcast(spark):
     """P32: the builtins dim join must be a broadcast, never a shuffle of
     the exploded identifier tokens against a shuffled dim."""

@@ -482,13 +482,14 @@ def test_extraction_query_glob_root(spark, tmp_path):
     assert not any("/helpers/" in u for u in urls)              # plain below +pkg
 
 
-def test_resolver_state_tracks_horizon_not_corpus(spark, tmp_path):
-    """E6 state bound at scale (VERDICT r4 item 8): 10,000 state keys
+def _horizon_stress(spark, tmp_path, resolver_fn, sink_name):
+    """Shared body for the E6 state-horizon stress: 10,000 state keys
     streamed across 10 event-time epochs 20 minutes apart; event-time
     eviction must hold live state at the watermark horizon (~the last 3
     epochs), never the corpus total — the README's "state tracks the live
     crawl horizon, not the corpus" claim, measured on the engine's own
-    state-store metrics."""
+    state-store metrics. Run against both stateful backends (applyInPandas
+    WithState and the transformWithState twin)."""
     import time as _time
 
     src = str(tmp_path / "horizon_src")
@@ -517,13 +518,13 @@ def test_resolver_state_tracks_horizon_not_corpus(spark, tmp_path):
             os.utime(f, (now + e * 60, now + e * 60))  # mtime = batch order
 
     units = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
-    resolved = resolve_bases_stream(units, delay="10 minutes")
-    q = run_to_memory(resolved, "horizon_t", str(tmp_path / "horizon_ck"))
+    resolved = resolver_fn(units, delay="10 minutes")
+    q = run_to_memory(resolved, sink_name, str(tmp_path / "horizon_ck"))
 
     # epochs whose +10min timers sit below the final watermark flushed their
     # pending needs as unresolved rows: epochs 0..6 by the last batch
     # (watermark in batch j derives from batches < j)
-    rows = spark.sql("select * from horizon_t").collect()
+    rows = spark.sql(f"select * from {sink_name}").collect()
     unresolved = [r for r in rows if not r["resolved"]]
     assert len(unresolved) >= per_epoch * (n_epochs - 3), len(unresolved)
 
@@ -538,3 +539,33 @@ def test_resolver_state_tracks_horizon_not_corpus(spark, tmp_path):
     # continuously, not only at the end
     peak = max(p["stateOperators"][0]["numRowsTotal"] for p in progresses)
     assert peak < total_keys, (peak, total_keys)
+
+
+def test_resolver_state_tracks_horizon_not_corpus(spark, tmp_path):
+    _horizon_stress(spark, tmp_path, resolve_bases_stream, "horizon_t")
+
+
+def test_resolver_tws_state_tracks_horizon_not_corpus(spark, tmp_path):
+    """VERDICT r5 item 8: the same horizon bound on the transformWithState
+    twin. Activation: runs wherever ``google.protobuf`` is importable (the
+    TWS Python state protocol's wire format) — absent in this sandbox, so
+    it env-skips here; any CI image with protobuf runs it automatically,
+    no opt-in flag needed. Requires the RocksDB state-store provider
+    (transformWithState's only supported backend)."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState state protocol needs protobuf"
+    )
+    from maxx_spark.streaming.resolver_tws import resolve_bases_tws
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _horizon_stress(spark, tmp_path, resolve_bases_tws, "horizon_tws_t")
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

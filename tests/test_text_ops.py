@@ -260,6 +260,34 @@ def test_duplicated_span_stats_exact(spark):
     assert (out[4]["total_ngrams"], out[4]["dup_ngrams"], out[4]["dup_fraction"]) == (5, 0, 0.0)
 
 
+def test_shared_shingle_index_identical(spark, sf_dir):
+    """VERDICT r5 item 7: q12/q13/q44/q60 accept a pre-built shingle-key
+    index (build ONCE at pipeline scale); passing it must be byte-identical
+    to each operator's inline build at the same n."""
+    from maxx_spark.operators.dedup import (
+        dedup_clusters,
+        duplicated_span_stats,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        word_shingle_keys,
+    )
+    from maxx_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    idx = word_shingle_keys(docs, 3).persist()
+    try:
+        idx.count()  # materialize once, as a pipeline would
+        for fn in (ngram_jaccard_pairs, minhash_lsh_pairs, duplicated_span_stats):
+            base = fn(docs, n=3)
+            shared = fn(docs, n=3, index=idx)
+            assert sorted(map(tuple, base.collect())) == sorted(map(tuple, shared.collect())), fn.__name__
+        base = dedup_clusters(docs, n=3)
+        shared = dedup_clusters(docs, n=3, index=idx)
+        assert sorted(map(tuple, base.collect())) == sorted(map(tuple, shared.collect()))
+    finally:
+        idx.unpersist()
+
+
 def test_quality_classifier_exact(spark):
     """q61: hand-computed per-mille features and BIGINT dot product.
     Row 0: 8 tokens, 7 stopwords -> stop_pm floor(7000/8)=875; 17 alpha
