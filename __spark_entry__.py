@@ -388,6 +388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_lexical_diversity": lambda s, d: T.lexical_diversity(_t(s, d, "documents")["documents"]),
         "q60_dup_span_fraction": lambda s, d: D.duplicated_span_stats(_t(s, d, "documents")["documents"]),
         "q61_quality_classifier": lambda s, d: T.quality_classifier(_t(s, d, "documents")["documents"]),
+        "q62_token_histogram": lambda s, d: T.token_histogram(_t(s, d, "documents")["documents"]),
+        "q63_source_overlap": lambda s, d: D.source_ngram_overlap(_t(s, d, "documents")["documents"]),
+        "q64_funnel_steps": lambda s, d: W.event_funnel(_t(s, d, "events")["events"]),
         # similarity search
         "q20_knn_bruteforce": lambda s, d: S.knn_cosine_bruteforce(_t(s, d, "embeddings")["embeddings"]),
         "q21_knn_lsh": lambda s, d: S.knn_cosine_lsh(_t(s, d, "embeddings")["embeddings"]),
@@ -1250,6 +1253,68 @@ SELECT doc_id, stop_pm, alpha_pm, punct_pm, len_bucket,
   (CASE WHEN 3 * stop_pm + 2 * alpha_pm - 4 * punct_pm + 120 * len_bucket >= 2000
         THEN 1 ELSE 0 END)::INTEGER AS keep
 FROM pm ORDER BY doc_id
+""",
+        # q62 (operators/text.token_histogram): per-source decimal-magnitude
+        # histogram of the q17 word-token count — all-integer outputs
+        "q62_token_histogram": r"""
+WITH t AS (
+  SELECT source, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::INTEGER AS wt
+  FROM documents
+)
+SELECT source, length(wt::VARCHAR)::INTEGER AS bucket,
+  count(*)::BIGINT AS n_docs, sum(wt)::BIGINT AS sum_tokens,
+  min(wt)::INTEGER AS min_tokens, max(wt)::INTEGER AS max_tokens
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # q63 (operators/dedup.source_ngram_overlap): distinct-shingle
+        # overlap per source pair; keyspace mirrors word_shingle_keys
+        # (md5i of the 3-word concat); containment_pm = floor(1000*c/min)
+        # (exact cross-engine: integer-ratio floor, see q61)
+        "q63_source_overlap": f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, {MD5I.format(x="w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS shingle
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 3)
+), ss AS (
+  SELECT DISTINCT d.source, sh.shingle FROM sh JOIN documents d USING (doc_id)
+), pc AS (
+  SELECT a.source AS sa, b.source AS sb, count(*) AS c
+  FROM ss a JOIN ss b USING (shingle) WHERE a.source <= b.source GROUP BY 1, 2
+)
+SELECT p.sa AS source_a, p.sb AS source_b, p.c::BIGINT AS n_shared,
+  da.c::BIGINT AS n_a, db.c::BIGINT AS n_b,
+  floor(p.c::DOUBLE * 1000.0 / least(da.c, db.c)::DOUBLE)::BIGINT AS containment_pm
+FROM pc p
+JOIN pc da ON da.sa = p.sa AND da.sb = p.sa
+JOIN pc db ON db.sa = p.sb AND db.sb = p.sb
+WHERE p.sa < p.sb
+ORDER BY 1, 2
+""",
+        # q64 (operators/windows.event_funnel): chained strict-order funnel
+        # view -> click -> purchase; first-touch step times, per-mille
+        # conversion vs funnel entry
+        "q64_funnel_steps": """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY 1
+), s AS (
+  SELECT 0 AS step_idx, 'view' AS step, (SELECT count(*) FROM t1) AS n_users
+  UNION ALL
+  SELECT 1, 'click', (SELECT count(*) FROM t2)
+  UNION ALL
+  SELECT 2, 'purchase', (SELECT count(*) FROM t3)
+)
+SELECT step_idx::INTEGER AS step_idx, step, n_users::BIGINT AS n_users,
+  (CASE WHEN (SELECT count(*) FROM t1) > 0
+        THEN floor(n_users::DOUBLE * 1000.0 / (SELECT count(*) FROM t1)::DOUBLE)
+        ELSE 0 END)::BIGINT AS conv_pm
+FROM s ORDER BY step_idx
 """,
         # q59 (operators/corpus.training_pipeline): the COMPOSED chain —
         # quality gate -> exact dedup (canonical = min doc_id among GATED

@@ -72,6 +72,9 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q59_training_pipeline",
         "q60_dup_span_fraction",
         "q61_quality_classifier",
+        "q62_token_histogram",
+        "q63_source_overlap",
+        "q64_funnel_steps",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

@@ -336,7 +336,10 @@ def main() -> None:
         "input_pages": {"small": n_small, "big": n_big},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", args.out), "w") as f:
+    # --out may be bare ("x.json" -> BENCH/x.json) or already carry a
+    # directory ("BENCH/x.json", absolute) — don't double-join BENCH/BENCH
+    out_path = args.out if os.path.dirname(args.out) else os.path.join("BENCH", args.out)
+    with open(os.path.join(REPO, out_path), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 

@@ -801,3 +801,60 @@ def duplicated_span_stats(
         )
         .orderBy("doc_id")
     )
+
+
+def source_ngram_overlap(
+    documents: DataFrame, n: int = 3, index: DataFrame | None = None
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix: for every source pair (a < b),
+    the number of distinct word n-gram shingle keys both sources contain,
+    each side's distinct-shingle count, and the containment per-mille
+    floor(1000 * shared / min(n_a, n_b)) — the corpus-mixing diagnostic
+    that tells you which web sources are re-crawls / mirrors of each other
+    before you weight them in a training mixture.
+
+    Plan: tag the md5i shingle-key index (``word_shingle_keys`` — reusable
+    via ``index=``) with its source through a doc_id-keyed join, take the
+    distinct (source, shingle) pairs, and self-join on the 8-byte shingle
+    key with ``a.source <= b.source`` — both sides are distinct, so the
+    per-shingle join fanout is bounded by |sources|^2 regardless of how
+    many DOCUMENTS share a viral shingle (the same bound that makes the
+    q12/q13 index safe). The diagonal rows of the same aggregate ARE the
+    per-source distinct-shingle sizes, so no second counting pass; the
+    bounded (<= |sources|^2 rows) pair-count table is pinned with an eager
+    localCheckpoint and joined back to its own diagonal as a LocalRelation.
+    No broadcast hints anywhere: source cardinality is corpus-dependent
+    (AQE broadcasts the genuinely tiny sides at runtime)."""
+    keys = index if index is not None else word_shingle_keys(documents, n)
+    tagged = (
+        keys.join(documents.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    pc = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.source") <= F.col("b.source")))
+        .groupBy(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # bounded: <= |sources|^2 rows; one corpus pass
+    )
+    diag = pc.filter(F.col("sa") == F.col("sb")).select(F.col("sa").alias("s"), F.col("c").alias("nd"))
+    da = diag.alias("da")
+    db = diag.alias("db")
+    return (
+        pc.filter(F.col("sa") < F.col("sb"))
+        .join(da, F.col("sa") == F.col("da.s"))
+        .join(db, F.col("sb") == F.col("db.s"))
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("c").cast("long").alias("n_shared"),
+            F.col("da.nd").cast("long").alias("n_a"),
+            F.col("db.nd").cast("long").alias("n_b"),
+            F.floor(
+                F.col("c").cast("double") * 1000.0
+                / F.least(F.col("da.nd"), F.col("db.nd")).cast("double")
+            ).cast("long").alias("containment_pm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -663,3 +663,28 @@ def quality_classifier(documents: DataFrame, threshold: int = 2000) -> DataFrame
         score.alias("q_score"),
         (score >= F.lit(threshold)).cast("int").alias("keep"),
     ).orderBy("doc_id")
+
+
+def token_histogram(documents: DataFrame) -> DataFrame:
+    """Per-source token-count histogram on decimal-magnitude buckets
+    (bucket = number of digits of the regex word-token count, i.e. the
+    power-of-ten size class a doc falls in — the shape report every corpus
+    card starts with).
+
+    Plan: pure projection (the q17 word-token regex count) followed by ONE
+    groupBy on the bounded (source, bucket) key space — map-side combine
+    collapses each scan partition to at most |sources| x ~7 partial rows,
+    so the exchange moves kilobytes at any SF; scan-dominated, whole-stage
+    codegen end-to-end. All-integer outputs (exact cross-engine)."""
+    wt = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0))
+    d = documents.select("source", wt.alias("wt"))
+    return (
+        d.groupBy("source", F.length(F.col("wt").cast("string")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("wt").cast("long").alias("sum_tokens"),
+            F.min("wt").cast("int").alias("min_tokens"),
+            F.max("wt").cast("int").alias("max_tokens"),
+        )
+        .orderBy("source", "bucket")
+    )

@@ -211,3 +211,69 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "active_week")
     )
+
+
+def event_funnel(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered conversion funnel over the events stream: n_users reaching
+    each step, where reaching step k means an event of type steps[k]
+    STRICTLY AFTER the user's step-(k-1) time (first-touch semantics:
+    each step's timestamp is the earliest qualifying event). conv_pm =
+    floor(1000 * n_k / n_0) — per-mille conversion vs the funnel entry
+    (exact cross-engine: integer-ratio floor, see quality_classifier).
+
+    Plan: the classic chained-join funnel — step k is a filter on
+    event_type (parquet-pushed: each pass scans ONLY its type's row
+    groups) joined to the step-(k-1) per-user times on user_id, then a
+    min() groupBy on the same user_id key — every shuffle in the chain is
+    keyed by uniform user_id, so AQE reuses co-partitioning and no key
+    skews with corpus size. Per-step outputs are one-row aggregates; the
+    final frame is their union cross-joined with the one-row entry count
+    (AQE broadcasts trivially, no hint)."""
+    e = events.select("user_id", "event_type", "ts")
+    cur = (
+        e.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    stage_rows = []
+    for i, s in enumerate(steps):
+        if i > 0:
+            cur = (
+                e.filter(F.col("event_type") == s)
+                .join(cur, "user_id")
+                .filter(F.col("ts") > F.col("t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        stage_rows.append(
+            cur.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit(i).alias("step_idx"), F.lit(s).alias("step"), "n_users"
+            )
+        )
+    out = stage_rows[0]
+    for r in stage_rows[1:]:
+        out = out.unionAll(r)
+    entry = (
+        e.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n0"))
+    )
+    return (
+        out.crossJoin(entry)
+        .select(
+            "step_idx",
+            "step",
+            "n_users",
+            F.when(
+                F.col("n0") > 0,
+                F.floor(F.col("n_users").cast("double") * 1000.0 / F.col("n0").cast("double")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("conv_pm"),
+        )
+        .orderBy("step_idx")
+    )

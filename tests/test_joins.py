@@ -108,3 +108,35 @@ def test_cohort_retention_matrix(spark):
     out = {(r["cohort_week"], r["active_week"]): r["n_users"] for r in cohort_retention(events).collect()}
     wk1, wk2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8)
     assert out == {(wk1, wk1): 2, (wk1, wk2): 1, (wk2, wk2): 1}
+
+
+def test_event_funnel_strict_order(spark):
+    """q64: chained strict-order funnel — a click at the SAME timestamp as
+    the view does not advance the funnel (strict >), click-before-view
+    does not count, and conversion per-mille is vs the entry step."""
+    import datetime as dt
+
+    from maxx_spark.operators.windows import event_funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: full ordered funnel
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # u2: click BEFORE view -> stalls at step 0 (purchase needs click-after-view)
+        (2, t(0), "click"), (2, t(1), "view"), (2, t(2), "purchase"),
+        # u3: view then purchase, no click -> step 0 only
+        (3, t(0), "view"), (3, t(1), "purchase"),
+        # u4: never views -> not in funnel at all
+        (4, t(0), "click"), (4, t(1), "purchase"),
+        # u5: click at the SAME ts as view -> strict > rejects it
+        (5, t(0), "view"), (5, t(0), "click"),
+    ]
+    events = spark.createDataFrame(
+        [(i, ts, uid, et, 1.0, "{}") for i, (uid, ts, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r["step_idx"]: r for r in event_funnel(events).collect()}
+    assert [(out[i]["step"], out[i]["n_users"]) for i in range(3)] == [
+        ("view", 4), ("click", 1), ("purchase", 1)
+    ]
+    assert [out[i]["conv_pm"] for i in range(3)] == [1000, 250, 250]

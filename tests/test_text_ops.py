@@ -304,3 +304,51 @@ def test_quality_classifier_exact(spark):
     assert (r0["q_score"], r0["keep"]) == (4041, 1)
     assert (out[1]["punct_pm"], out[1]["q_score"], out[1]["keep"]) == (1000, -4000, 0)
     assert (out[2]["alpha_pm"], out[2]["q_score"], out[2]["keep"]) == (1000, 2000, 1)
+
+
+def test_token_histogram_exact(spark):
+    """q62: decimal-magnitude buckets (digits of the word-token count),
+    all-integer rollup per (source, bucket); single hash exchange, no
+    Python stages."""
+    from maxx_spark.operators.text import token_histogram
+    from maxx_spark.plans import plan_summary
+
+    rows = [
+        "a b c",                      # src0: 3 tokens  -> bucket 1
+        "one two three four five six seven eight nine ten eleven twelve",  # src1: 12 -> bucket 2
+        "x " * 10,                    # src0: 10 tokens -> bucket 2
+        "",                           # src1: 0 tokens  -> bucket 1
+    ]
+    out = {(r["source"], r["bucket"]): r for r in token_histogram(_docs(spark, rows)).collect()}
+    assert set(out) == {("src0", 1), ("src0", 2), ("src1", 1), ("src1", 2)}
+    assert (out[("src0", 1)]["n_docs"], out[("src0", 1)]["sum_tokens"]) == (1, 3)
+    assert (out[("src0", 2)]["min_tokens"], out[("src0", 2)]["max_tokens"]) == (10, 10)
+    assert (out[("src1", 1)]["n_docs"], out[("src1", 1)]["sum_tokens"]) == (1, 0)
+    assert (out[("src1", 2)]["sum_tokens"], out[("src1", 2)]["max_tokens"]) == (12, 12)
+    s = plan_summary(token_histogram(_docs(spark, rows)))
+    assert s["shuffles"] == 1 and s["python_stages"] == 0
+
+
+def test_source_overlap_exact(spark):
+    """q63: distinct-shingle containment between sources; a shingle shared
+    by MANY docs of the same pair still counts once (distinct before the
+    self-join), and a prebuilt index= gives byte-identical output."""
+    from maxx_spark.operators.dedup import source_ngram_overlap, word_shingle_keys
+
+    rows = [
+        "one two three four",    # src0: {one-two-three, two-three-four}
+        "one two three five",    # src1: {one-two-three, two-three-five}
+        "alpha beta gamma",      # src0: {alpha-beta-gamma}
+        "one two three four",    # src1: duplicate of d0's grams (multiplicity probe)
+    ]
+    docs = _docs(spark, rows)
+    out = source_ngram_overlap(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    # src0 = {otf's 2, abg} = 3; src1 = {otf's 2 from d3, ott, tt5} = 3... see sets:
+    # src0 grams {o-t-t, t-t-f, a-b-g} = 3; src1 grams {o-t-t, t-t-5, t-t-f} = 3
+    assert (r["source_a"], r["source_b"]) == ("src0", "src1")
+    assert (r["n_a"], r["n_b"], r["n_shared"]) == (3, 3, 2)
+    assert r["containment_pm"] == 666  # floor(1000*2/3)
+    pre = source_ngram_overlap(docs, index=word_shingle_keys(docs, 3)).collect()
+    assert [tuple(x) for x in pre] == [tuple(x) for x in out]
