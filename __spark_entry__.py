@@ -391,11 +391,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_token_histogram": lambda s, d: T.token_histogram(_t(s, d, "documents")["documents"]),
         "q63_source_overlap": lambda s, d: D.source_ngram_overlap(_t(s, d, "documents")["documents"]),
         "q64_funnel_steps": lambda s, d: W.event_funnel(_t(s, d, "events")["events"]),
+        "q66_session_paths": lambda s, d: W.session_event_paths(_t(s, d, "events")["events"]),
         # similarity search
         "q20_knn_bruteforce": lambda s, d: S.knn_cosine_bruteforce(_t(s, d, "embeddings")["embeddings"]),
         "q21_knn_lsh": lambda s, d: S.knn_cosine_lsh(_t(s, d, "embeddings")["embeddings"]),
         "q22_label_centroids": lambda s, d: S.label_centroids(_t(s, d, "embeddings")["embeddings"]),
         "q38_ivf_knn": lambda s, d: S.ivf_knn(_t(s, d, "embeddings")["embeddings"]),
+        "q65_knn_quantized": lambda s, d: S.knn_cosine_quantized(_t(s, d, "embeddings")["embeddings"]),
         # MATLAB extraction payload + inheritance layer over the deterministic
         # generated pages corpus (sf-independent); oracles are golden VALUES
         # tables regenerated by tools/regen_golden.py
@@ -1315,6 +1317,56 @@ SELECT step_idx::INTEGER AS step_idx, step, n_users::BIGINT AS n_users,
         THEN floor(n_users::DOUBLE * 1000.0 / (SELECT count(*) FROM t1)::DOUBLE)
         ELSE 0 END)::BIGINT AS conv_pm
 FROM s ORDER BY step_idx
+""",
+        # q65 (operators/similarity.knn_cosine_quantized): int8-style
+        # symmetric quantization — q_i = floor(x*127/max|x|), every step a
+        # single IEEE double op, so codes are bit-identical cross-engine;
+        # the BIGINT dot of codes is < 2^53, exact in DuckDB's double sum
+        "q65_knn_quantized": """
+WITH qz AS (
+  SELECT vec_id,
+    CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0
+         THEN list_transform(embedding, x -> 0::BIGINT)
+         ELSE list_transform(embedding, x ->
+              floor(CAST(x AS DOUBLE) * 127.0 /
+                    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))::BIGINT)
+    END AS qv
+  FROM embeddings
+), s AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i]))::BIGINT AS qdot
+  FROM qz a JOIN qz b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, qdot, rnk::INTEGER AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rnk
+  FROM s
+) WHERE rnk <= 5
+ORDER BY query_id, rnk
+""",
+        # q66 (operators/windows.session_event_paths): gap sessionization on
+        # exact microsecond longs, path = first 8 event types in strict
+        # (ts, event_id) order (DuckDB slice [1:8] is 1-based end-inclusive
+        # = Spark slice(arr,1,8)); top-20 under the total order
+        # (n_sessions DESC, path) is engine-independent
+        "q66_session_paths": """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM s
+), paths AS (
+  SELECT user_id,
+    array_to_string((array_agg(event_type ORDER BY ts, event_id))[1:8], '>') AS path
+  FROM sess GROUP BY user_id, sid
+)
+SELECT path, count(*)::BIGINT AS n_sessions, count(DISTINCT user_id)::BIGINT AS n_users
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
 """,
         # q59 (operators/corpus.training_pipeline): the COMPOSED chain —
         # quality gate -> exact dedup (canonical = min doc_id among GATED

@@ -75,6 +75,8 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q62_token_histogram",
         "q63_source_overlap",
         "q64_funnel_steps",
+        "q65_knn_quantized",
+        "q66_session_paths",
     ]
     qs = e.queries()
     out: dict[str, float] = {}
@@ -158,6 +160,23 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         out["extract_pages_per_sec"] = round(n_pages / dt, 1)
         out["extract_units_per_sec"] = round(n_units / dt, 1)
         pages.unpersist()
+
+        # steady-state row (round 6): the 4,980-page leg above finishes in
+        # ~0.2 s of compute + ~0.2-0.45 s of fixed per-job overhead (task
+        # launch, Arrow setup), so its rate measures OVERHEAD VARIANCE more
+        # than throughput — the r4 12.2k vs r5 8.0k "drop" was exactly that
+        # (BENCH/extract_repeat_r6_scale6.json: the same code sustains
+        # 23-33k p/s once legs are >=1 s of real work). 6x pages drops the
+        # overhead share below ~10% and is the figure that extrapolates to
+        # a continuously-parsing stream.
+        big = generate_pages_df(spark, n_filler=18000, n_projects=360).cache()
+        n_big = big.count()
+        t0 = time.perf_counter()
+        n_units_big = extract_code_units(big).count()
+        dt_big = time.perf_counter() - t0
+        out["extract_steady_pages_per_sec"] = round(n_big / dt_big, 1)
+        out["extract_steady_units_per_sec"] = round(n_units_big / dt_big, 1)
+        big.unpersist()
     except Exception:
         pass  # extraction stage not built yet / optional dep missing
     return out

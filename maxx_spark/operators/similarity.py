@@ -379,3 +379,58 @@ def cosine_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.4, bands: in
             )
 
     return paired.mapInPandas(_verify, "vec_a long, vec_b long").orderBy("vec_a", "vec_b")
+
+
+def _quantize(col):
+    """Symmetric per-vector int8-style quantization: q_i = floor(x_i * 127
+    / max_j|x_j|) as BIGINT. Every step (f32->f64 cast, one multiply, one
+    divide, floor) is a single IEEE-754 double op, so the codes are
+    bit-identical across any engine evaluating the same expression — no
+    round-half ambiguity (floor, not round). An all-zero vector maps to
+    all-zero codes."""
+    s = F.array_max(F.transform(col, lambda x: F.abs(x.cast("double"))))
+    return F.when(s == 0.0, F.transform(col, lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(col, lambda x: F.floor(x.cast("double") * 127.0 / s).cast("long"))
+    )
+
+
+def knn_cosine_quantized(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """ANN with int8-style scalar quantization (the memory-bandwidth scale
+    path: 8-bit codes are 4x smaller than f32, and candidate scoring is
+    integer arithmetic — SIMD-friendly and EXACT, so ranks are
+    deterministic cross-engine with no float-fold contract at all).
+
+    Ranking by the integer dot product of symmetrically-quantized codes ==
+    ranking by approximate cosine when vectors are near-unit-norm (the
+    per-vector scale cancels only approximately; this is the standard
+    SQ8 trade — recall vs the exact q20 ranking is the quality metric).
+    Per-element products are <= 127^2 and dims are bounded, so the BIGINT
+    sum never overflows and equals DuckDB's double-computed sum exactly
+    (integers < 2^53).
+
+    Plan: quantization is a narrow projection (no shuffle); the fixed
+    n_queries query rows broadcast; scoring touches each candidate once.
+    Emits only integers (query_id, neighbor_id, qdot, rank)."""
+    emb = embeddings.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"))
+    idot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", idot.alias("qdot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "qdot", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )

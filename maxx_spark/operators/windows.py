@@ -277,3 +277,61 @@ def event_funnel(
         )
         .orderBy("step_idx")
     )
+
+
+def session_event_paths(
+    events: DataFrame, gap_seconds: int = 1800, max_len: int = 8, top: int = 20
+) -> DataFrame:
+    """Top event-type paths per gap-sessionized user journey: sessionize
+    each user's events with an inactivity gap, render the session's first
+    ``max_len`` event types (strict (ts, event_id) order — event_id is the
+    unique tiebreak, so paths are deterministic under same-ts events) as a
+    '>'-joined path string, then report the ``top`` most common paths with
+    session and distinct-user counts — the CEP-flavored "what do journeys
+    look like" rollup next to q29's single-pattern funnel.
+
+    Plan: ONE user_id-keyed shuffle feeds both the lag-based session
+    boundary and the running session id (same window frame, exchange
+    reused); session assembly is a groupBy on (user_id, session) which
+    arrives already partitioned by user_id (no second exchange of the
+    events). Per-user row counts are bounded by user activity — journeys,
+    not corpus size — so the user window never concentrates SF growth on
+    one task. The path rollup is a bounded-key aggregate (path strings are
+    capped at max_len types) and the final top-k is orderBy+limit, which
+    Spark executes as TakeOrdered (per-partition partial top-k, no global
+    sort). All-integer counts; the gap test is timestamp-interval
+    arithmetic (exact microsecond integers inside both engines, and
+    timezone-proof — works on TIMESTAMP and TIMESTAMP_NTZ alike; no float
+    epoch anywhere)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    is_new = (
+        F.when(prev.isNull(), F.lit(1))
+        .when(F.col("ts") > prev + F.expr(f"INTERVAL {int(gap_seconds)} SECOND"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    sess = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__sid", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    paths = (
+        sess.groupBy("user_id", "__sid")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("__ev")
+        )
+        .select(
+            "user_id",
+            F.array_join(
+                F.slice(F.transform(F.col("__ev"), lambda s: s["event_type"]), 1, max_len), ">"
+            ).alias("path"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(top)
+    )

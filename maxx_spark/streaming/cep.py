@@ -1,0 +1,159 @@
+"""Streaming CEP: per-user strict-order funnel matching — the streaming
+twin of ``operators/windows.event_funnel`` (q64), built on
+``applyInPandasWithState`` with event-time timers.
+
+Semantics (identical to the batch mirror): a user advances to step k on the
+FIRST event of type ``steps[k]`` whose timestamp is STRICTLY after the
+user's step-(k-1) time (first-touch). Out-of-order arrival cannot change
+the match: incoming events are buffered in state and replayed in
+(ts, event_id) order only once the event-time watermark has passed them —
+the same finalize-below-the-watermark discipline Spark's own windowed
+aggregates use, so a network-reordered stream and the batch mirror emit the
+same (user, step) set whenever the watermark ``delay`` covers the arrival
+disorder (events later than that are dropped by Spark's watermark filter
+before reaching the operator — the standard contract, identical to E2).
+Because finalized events are replayed in event-time order and anything
+older than the watermark can never arrive, a finalized event that does not
+match the user's current step is discarded exactly — no earlier-ts event
+can appear afterwards to change the machine's past. Completed funnels drop their state immediately;
+incomplete funnels are evicted by an event-time timer ``deadline`` past the
+user's newest event (state is bounded by ACTIVE users in the deadline
+horizon, not by corpus history — the E6 lesson, resolver.py:118).
+
+No filter sits between ``withWatermark`` and the stateful operator
+(CLAUDE.md invariant: Catalyst would push it below the watermark node and
+freeze the clock): every event of every type reaches its user's key;
+non-step types merely advance the user's clock and are never buffered.
+
+Scale: one shuffle, keyed by uniform user_id. Per-user state holds only
+not-yet-finalized step-type events inside the watermark delay plus at most
+len(steps) matched timestamps — arrival-rate bounded, not history bounded.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FUNNEL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("step_idx", IntegerType()),
+        StructField("step", StringType()),
+        StructField("step_ts_ms", LongType()),
+    ]
+)
+
+FUNNEL_STATE = StructType(
+    [
+        StructField("buf_ts", ArrayType(LongType())),
+        StructField("buf_id", ArrayType(LongType())),
+        StructField("buf_type", ArrayType(StringType())),
+        StructField("step_ts", ArrayType(LongType())),
+        StructField("max_ts", LongType()),
+    ]
+)
+
+
+def _ts_ms(ts) -> int:
+    if ts is None:
+        return 0
+    return int(pd.Timestamp(ts).value // 1_000_000)
+
+
+def _make_funnel_fn(steps: tuple[str, ...], deadline_ms: int):
+    step_set = set(steps)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            buf_ts, buf_id, buf_type, step_ts, max_ts = state.get
+            buf = list(zip(buf_ts, buf_id, buf_type))
+            step_ts = list(step_ts)
+        else:
+            buf, step_ts, max_ts = [], [], 0
+
+        if not state.hasTimedOut:  # timer firings carry no input rows
+            for pdf in pdfs:
+                for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+                    ms = _ts_ms(ts)
+                    max_ts = max(max_ts, ms)
+                    if etype in step_set:  # non-step types only advance the clock
+                        buf.append((ms, int(eid), str(etype)))
+
+        # finalize: replay events at or below the watermark in strict
+        # (ts, event_id) order; later events stay buffered
+        wm = state.getCurrentWatermarkMs()
+        ripe = sorted(ev for ev in buf if ev[0] <= wm)
+        buf = [ev for ev in buf if ev[0] > wm]
+        out: list[tuple] = []
+        for ms, eid, etype in ripe:
+            if len(step_ts) >= len(steps):
+                break
+            need = steps[len(step_ts)]
+            if etype == need and (not step_ts or ms > step_ts[-1]):
+                step_ts.append(ms)
+                out.append((user_id, len(step_ts) - 1, need, ms))
+
+        if len(step_ts) >= len(steps):
+            state.remove()  # complete: nothing further can emit
+        elif state.hasTimedOut and not buf and wm >= max_ts + deadline_ms:
+            state.remove()  # idle past the deadline: expire the funnel
+        else:
+            state.update(
+                (
+                    [ev[0] for ev in buf],
+                    [ev[1] for ev in buf],
+                    [ev[2] for ev in buf],
+                    step_ts,
+                    max_ts,
+                )
+            )
+            if buf:
+                # ripeness timer: groups get NO further invocations without
+                # input, so re-fire just past the earliest buffered event
+                # (strictly ahead of wm — anything <= wm was finalized above)
+                state.setTimeoutTimestamp(min(ev[0] for ev in buf) + 1)
+            else:
+                # expiry timer: deadline past the newer of user clock and
+                # watermark (timestamps behind the watermark throw)
+                state.setTimeoutTimestamp(max(max_ts, wm) + deadline_ms)
+        if out:
+            yield pd.DataFrame(out, columns=FUNNEL_OUT.fieldNames())
+
+    return fn
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    delay: str = "10 minutes",
+    deadline: str = "1 hour",
+) -> DataFrame:
+    """Attach the streaming funnel to a (streaming or batch) events frame
+    with columns (user_id, event_id, event_type, ts). Emits one append-mode
+    row per (user, reached step) with the first-touch event time;
+    ``groupBy(step_idx).count()`` over a drained stream equals q64's
+    n_users column (parity pinned by test_streaming_funnel_*)."""
+    n, unit = deadline.split()
+    deadline_ms = int(n) * {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                            "hour": 3600, "hours": 3600}[unit] * 1000
+    e = events.select("user_id", "event_id", "event_type", "ts").withWatermark("ts", delay)
+    return e.groupBy("user_id").applyInPandasWithState(
+        _make_funnel_fn(tuple(steps), deadline_ms),
+        FUNNEL_OUT,
+        FUNNEL_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

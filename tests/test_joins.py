@@ -140,3 +140,36 @@ def test_event_funnel_strict_order(spark):
         ("view", 4), ("click", 1), ("purchase", 1)
     ]
     assert [out[i]["conv_pm"] for i in range(3)] == [1000, 250, 250]
+
+
+def test_session_paths_gap_and_order(spark):
+    """q66: 30-min-gap sessionization on exact microsecond longs, paths in
+    strict (ts, event_id) order (same-ts events break by event_id), first-8
+    truncation, and the (n_sessions DESC, path ASC) top-k total order."""
+    import datetime as dt
+
+    from maxx_spark.operators.windows import session_event_paths
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0) + dt.timedelta(minutes=m)
+    rows = [
+        # u1: one session (0,1,2 min), then a 60-min gap -> second session
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"), (1, t(70), "view"),
+        # u2: 29-min gap stays in-session (gap is strict >30min); then new
+        (2, t(0), "view"), (2, t(29), "click"), (2, t(90), "view"),
+        # u3: 10 views in one session -> path truncates to 8
+        *[(3, t(i), "view") for i in range(10)],
+        # u4: two events at the SAME ts -> event_id (insertion order) decides
+        (4, t(0), "click"), (4, t(0), "view"),
+    ]
+    events = spark.createDataFrame(
+        [(i, ts, uid, et, 1.0, "{}") for i, (uid, ts, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = [(r["path"], r["n_sessions"], r["n_users"]) for r in session_event_paths(events).collect()]
+    assert out == [
+        ("view", 2, 2),                      # u1 session 2, u2 session 2
+        ("click>view", 1, 1),                # u4: same-ts, event_id order
+        ("view>click", 1, 1),                # u2 session 1 (29-min gap held)
+        ("view>click>purchase", 1, 1),       # u1 session 1
+        ("view>view>view>view>view>view>view>view", 1, 1),  # u3 truncated at 8
+    ]

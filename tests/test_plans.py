@@ -164,6 +164,7 @@ def test_no_unbounded_broadcast_hints_all_queries(spark, sf_dir):
         "q56_decontamination_overlap": 1,
         "q20_knn_bruteforce": 1,
         "q21_knn_lsh": 1,
+        "q65_knn_quantized": 1,
         "q38_ivf_knn": 2,
         "q28_range_join_bands": 1,
         "q35_scope_resolution": 8,

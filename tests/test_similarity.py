@@ -73,3 +73,27 @@ def test_gemm_block_guard_trips_on_oversized_block(spark, monkeypatch):
     df, _ = _make_embeddings(spark, list(range(64)), rng, dim=8)
     with pytest.raises(Exception, match="raise n_blocks"):
         S.cosine_near_dup_pairs(df, threshold=0.9, n_blocks=1).collect()
+
+
+def test_knn_quantized_exact(spark):
+    """q65: int8-style symmetric quantization (floor, not round — no
+    half-even ambiguity) and EXACT integer-dot ranking; ties break by
+    neighbor id; zero vectors quantize to all-zero codes."""
+    from maxx_spark.operators.similarity import knn_cosine_quantized
+
+    rows = [
+        (0, [1.0, 0.0]),    # query: codes [127, 0]
+        (1, [0.5, 0.5]),    # s=0.5 -> [127, 127]
+        (2, [1.0, 0.1]),    # [127, floor(0.1*127/1.0)=12]
+        (3, [-1.0, 0.0]),   # [-127, 0]
+        (4, [0.0, 0.0]),    # zero vector -> [0, 0]
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = [tuple(r) for r in knn_cosine_quantized(df, n_queries=1, k=4).collect()]
+    # qdot vs query [127,0]: v1=16129, v2=16129 (tie -> id asc), v4=0, v3=-16129
+    assert out == [
+        (0, 1, 16129, 1),
+        (0, 2, 16129, 2),
+        (0, 4, 0, 3),
+        (0, 3, -16129, 4),
+    ]

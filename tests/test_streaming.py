@@ -569,3 +569,65 @@ def test_resolver_tws_state_tracks_horizon_not_corpus(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Streaming CEP funnel (streaming/cep.py): events arriving in REVERSE
+    step order across micro-batches (purchases first, views last) are
+    buffered in state and replayed in (ts, event_id) order once the
+    watermark passes them — the emitted (user, step) set equals the batch
+    mirror q64 (operators/windows.event_funnel) on the same input,
+    including the strict-order edge cases (click-before-view stalls,
+    same-ts click rejected)."""
+    from maxx_spark.operators.windows import event_funnel
+    from maxx_spark.streaming.cep import funnel_stream
+    import time as _time
+
+    t0 = dt.datetime(2024, 8, 1, 9, 0, 0)
+    t = lambda m: t0 + dt.timedelta(minutes=m)
+    ev = [  # (event_id, ts, user_id, event_type) — q64's unit-test corpus
+        (0, t(0), 1, "view"), (1, t(1), 1, "click"), (2, t(2), 1, "purchase"),
+        (3, t(0), 2, "click"), (4, t(1), 2, "view"), (5, t(2), 2, "purchase"),
+        (6, t(0), 3, "view"), (7, t(1), 3, "purchase"),
+        (8, t(0), 4, "click"), (9, t(1), 4, "purchase"),
+        (10, t(0), 5, "view"), (11, t(0), 5, "click"),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    rows = [(i, ts, u, et, 1.0, "{}") for i, ts, u, et in ev]
+    # adversarial arrival: purchases, then clicks, then views; heartbeats
+    # (non-step 'noop' events) advance the watermark, then provide the real
+    # batch in which the ripeness timers fire and finalize the buffers
+    batches = [
+        [r for r in rows if r[3] == "purchase"],
+        [r for r in rows if r[3] == "click"],
+        [r for r in rows if r[3] == "view"],
+        [(100, t0 + dt.timedelta(hours=1), 99, "noop", 1.0, "{}")],
+        [(101, t0 + dt.timedelta(hours=2), 99, "noop", 1.0, "{}")],
+    ]
+    src = str(tmp_path / "funnel_events")
+    for k, b in enumerate(batches):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+        now = _time.time()
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (now + 60 * k, now + 60 * k))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    # delay must cover the arrival disorder (standard watermark contract —
+    # with a 1-minute delay the views would arrive already LATE and Spark
+    # itself drops them before the stateful operator, same as E2)
+    out = funnel_stream(stream, delay="10 minutes", deadline="2 hours")
+    run_to_memory(out, "funnel_t", str(tmp_path / "ck_funnel"))
+    got = spark.sql("select * from funnel_t").collect()
+
+    per_step = {i: sorted(r["user_id"] for r in got if r["step_idx"] == i) for i in range(3)}
+    assert per_step == {0: [1, 2, 3, 5], 1: [1], 2: [1]}
+    # first-touch times match the batch semantics (u2 enters at its VIEW)
+    times = {(r["user_id"], r["step_idx"]): r["step_ts_ms"] for r in got}
+    ms = lambda m: int(t(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert times[(2, 0)] == ms(1) and times[(1, 2)] == ms(2)
+    # parity with the batch mirror on the same events (noop rows included —
+    # both engines ignore non-step types)
+    batch = event_funnel(spark.createDataFrame([r for b in batches for r in b], schema))
+    batch_n = {r["step_idx"]: r["n_users"] for r in batch.collect()}
+    assert batch_n == {i: len(per_step[i]) for i in range(3)}
