@@ -304,3 +304,24 @@ def test_round5_new_op_plan_shapes(spark, sf_dir):
     assert "Window" not in executed_plan(span)
     s = plan_summary(T.quality_classifier(docs))
     assert s["shuffles"] == 0 and s["python_stages"] == 0
+
+
+def test_session_paths_exchange_reuse(spark, sf_dir):
+    """q66 scale gate: exactly TWO exchange keys in the whole plan — one
+    user_id exchange reused by both window passes, the session groupBy AND
+    the countDistinct partials (HashPartitioning(user_id) satisfies every
+    downstream clustered distribution), plus one bounded-key path exchange;
+    the final top-20 is TakeOrderedAndProject (per-partition partial top-k),
+    never a global Sort."""
+    import re
+
+    from maxx_spark.operators.windows import session_event_paths
+    from maxx_spark.plans import executed_plan
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    df = session_event_paths(events)
+    df.collect()  # finalize AQE
+    p = executed_plan(df)
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", p))
+    assert keys == {"user_id", "path"}, keys
+    assert "TakeOrderedAndProject" in p
