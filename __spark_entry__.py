@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_source_overlap": lambda s, d: D.source_ngram_overlap(_t(s, d, "documents")["documents"]),
         "q64_funnel_steps": lambda s, d: W.event_funnel(_t(s, d, "events")["events"]),
         "q66_session_paths": lambda s, d: W.session_event_paths(_t(s, d, "events")["events"]),
+        "q67_length_percentiles": lambda s, d: T.length_percentiles(_t(s, d, "documents")["documents"]),
         # similarity search
         "q20_knn_bruteforce": lambda s, d: S.knn_cosine_bruteforce(_t(s, d, "embeddings")["embeddings"]),
         "q21_knn_lsh": lambda s, d: S.knn_cosine_lsh(_t(s, d, "embeddings")["embeddings"]),
@@ -1367,6 +1368,25 @@ SELECT path, count(*)::BIGINT AS n_sessions, count(DISTINCT user_id)::BIGINT AS 
 FROM paths GROUP BY path
 ORDER BY n_sessions DESC, path
 LIMIT 20
+""",
+        # q67 (operators/text.length_percentiles): exact percentile_disc via
+        # the two-phase bounded histogram; integer-ceil rank, no float rank
+        "q67_length_percentiles": """
+WITH hist AS (
+  SELECT source, n_chars, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT source, n_chars, c,
+    (sum(c) OVER (PARTITION BY source ORDER BY n_chars))::BIGINT AS cum
+  FROM hist
+), tot AS (
+  SELECT source, sum(c)::BIGINT AS n FROM hist GROUP BY 1
+)
+SELECT h.source, max(t.n)::BIGINT AS n_docs,
+  min(CASE WHEN h.cum >= (500 * t.n + 999) // 1000 THEN h.n_chars END)::BIGINT AS p50,
+  min(CASE WHEN h.cum >= (900 * t.n + 999) // 1000 THEN h.n_chars END)::BIGINT AS p90,
+  min(CASE WHEN h.cum >= (990 * t.n + 999) // 1000 THEN h.n_chars END)::BIGINT AS p99
+FROM cum h JOIN tot t USING (source)
+GROUP BY h.source ORDER BY h.source
 """,
         # q59 (operators/corpus.training_pipeline): the COMPOSED chain —
         # quality gate -> exact dedup (canonical = min doc_id among GATED

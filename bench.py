@@ -77,6 +77,7 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         "q64_funnel_steps",
         "q65_knn_quantized",
         "q66_session_paths",
+        "q67_length_percentiles",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

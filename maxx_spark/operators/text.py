@@ -688,3 +688,39 @@ def token_histogram(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+def length_percentiles(documents: DataFrame, pms: tuple[int, ...] = (500, 900, 990)) -> DataFrame:
+    """Exact per-source length percentiles (p50/p90/p99 of n_chars) via the
+    two-phase bounded-histogram construction — the corpus-card stat, computed
+    WITHOUT sorting the corpus: percentile_disc semantics (smallest value
+    whose cumulative count reaches ceil(pm/1000 * n)), all-integer and
+    engine-exact (integer-ceil `(pm*n + 999) div 1000`, never a float rank).
+
+    Plan: phase 1 collapses the corpus to a (source, n_chars) histogram with
+    map-side combine — the exchange moves at most |sources| x |distinct
+    lengths| partial rows, a key space bounded by the LENGTH RANGE (document
+    size policy), not by corpus row count, so the downstream per-source
+    cumulative window is over a small bounded table at any SF. Phase 2 joins
+    the per-source totals and picks each percentile with a min(CASE) —
+    one more bounded-key aggregate. Contrast percentile_approx (approximate,
+    engine-specific) or a corpus-wide sort (a full range shuffle)."""
+    hist = documents.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    j = cum.join(tot, "source")
+    aggs = []
+    for pm in pms:
+        tgt = F.expr(f"(({pm} * n + 999) div 1000)")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= tgt, F.col("n_chars")))
+            .cast("long")
+            .alias(f"p{pm // 10}")
+        )
+    return (
+        j.groupBy("source")
+        .agg(F.max("n").alias("n_docs"), *aggs)
+        .select("source", F.col("n_docs").cast("long"), *[F.col(f"p{pm // 10}") for pm in pms])
+        .orderBy("source")
+    )

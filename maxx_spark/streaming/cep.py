@@ -157,3 +157,118 @@ def funnel_stream(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming session-path assembly (streaming twin of q66)
+# ---------------------------------------------------------------------------
+
+PATHS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_ms", LongType()),
+        StructField("path", StringType()),
+        StructField("n_events", IntegerType()),
+    ]
+)
+
+PATHS_STATE = StructType(
+    [
+        StructField("buf_ts", ArrayType(LongType())),
+        StructField("buf_id", ArrayType(LongType())),
+        StructField("buf_type", ArrayType(StringType())),
+        StructField("cur_ts", ArrayType(LongType())),   # open session (finalized, ordered)
+        StructField("cur_type", ArrayType(StringType())),
+    ]
+)
+
+
+def _make_paths_fn(gap_ms: int, max_len: int):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            buf_ts, buf_id, buf_type, cur_ts, cur_type = state.get
+            buf = list(zip(buf_ts, buf_id, buf_type))
+            cur = list(zip(cur_ts, cur_type))
+        else:
+            buf, cur = [], []
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+                    buf.append((_ts_ms(ts), int(eid), str(etype)))
+
+        wm = state.getCurrentWatermarkMs()
+        ripe = sorted(ev for ev in buf if ev[0] <= wm)
+        buf = [ev for ev in buf if ev[0] > wm]
+
+        out: list[tuple] = []
+
+        def close(session: list[tuple[int, str]]):
+            out.append(
+                (
+                    user_id,
+                    session[0][0],
+                    ">".join(t for _, t in session[:max_len]),
+                    len(session),
+                )
+            )
+
+        for ms, eid, etype in ripe:
+            if cur and ms > cur[-1][0] + gap_ms:
+                close(cur)
+                cur = []
+            cur.append((ms, etype))
+        # the open session closes once the WATERMARK has passed its gap —
+        # no event at or below cur[-1].ts + gap can arrive anymore
+        if cur and wm > cur[-1][0] + gap_ms:
+            close(cur)
+            cur = []
+
+        if not cur and not buf:
+            if state.exists:
+                state.remove()  # nothing pending: a future event recreates state
+        else:
+            state.update(
+                (
+                    [ev[0] for ev in buf],
+                    [ev[1] for ev in buf],
+                    [ev[2] for ev in buf],
+                    [e[0] for e in cur],
+                    [e[1] for e in cur],
+                )
+            )
+            if buf:
+                state.setTimeoutTimestamp(min(ev[0] for ev in buf) + 1)
+            else:  # open session only: fire once its gap elapses
+                state.setTimeoutTimestamp(max(cur[-1][0] + gap_ms, wm) + 1)
+        if out:
+            yield pd.DataFrame(out, columns=PATHS_OUT.fieldNames())
+
+    return fn
+
+
+def session_paths_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    max_len: int = 8,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``operators/windows.session_event_paths`` (q66):
+    gap-based session assembly per user with watermark-ordered replay.
+    Emits one append-mode row per CLOSED session — a session closes when an
+    in-order event lands beyond the gap, or when the watermark itself
+    passes the gap horizon (an event-time timer fires the flush, so idle
+    sessions emit without waiting for more traffic). State per user =
+    not-yet-finalized events inside the watermark delay + the open
+    session's (ts, type) list — arrival-rate bounded. groupBy(path) counts
+    over a drained stream equal the batch mirror's n_sessions (parity
+    pinned by test)."""
+    e = events.select("user_id", "event_id", "event_type", "ts").withWatermark("ts", delay)
+    return e.groupBy("user_id").applyInPandasWithState(
+        _make_paths_fn(int(gap_seconds) * 1000, max_len),
+        PATHS_OUT,
+        PATHS_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -631,3 +631,59 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     batch = event_funnel(spark.createDataFrame([r for b in batches for r in b], schema))
     batch_n = {r["step_idx"]: r["n_users"] for r in batch.collect()}
     assert batch_n == {i: len(per_step[i]) for i in range(3)}
+
+
+def test_streaming_session_paths_match_batch(spark, tmp_path):
+    """Streaming session assembly (streaming/cep.py): gap-based sessions
+    close either on an in-order event beyond the gap or on the WATERMARK
+    passing the gap horizon (event-time timer flush — idle sessions emit
+    without more traffic). Out-of-order arrival within the delay replays
+    in (ts, event_id) order; per-path session counts equal the q66 batch
+    mirror."""
+    from maxx_spark.operators.windows import session_event_paths
+    from maxx_spark.streaming.cep import session_paths_stream
+    import time as _time
+
+    t0 = dt.datetime(2024, 8, 2, 12, 0, 0)
+    t = lambda m: t0 + dt.timedelta(minutes=m)
+    ev = [  # q66's unit-test corpus (sessions split by the 30-min gap)
+        (0, t(0), 1, "view"), (1, t(1), 1, "click"), (2, t(2), 1, "purchase"), (3, t(70), 1, "view"),
+        (4, t(0), 2, "view"), (5, t(29), 2, "click"), (6, t(90), 2, "view"),
+        *[(7 + i, t(i), 3, "view") for i in range(10)],
+        (17, t(0), 4, "click"), (18, t(0), 4, "view"),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    rows = [(i, ts, u, et, 1.0, "{}") for i, ts, u, et in ev]
+    batches = [
+        rows[1::2],  # odd-index events first: out-of-order within the delay
+        rows[0::2],
+        [(100, t0 + dt.timedelta(hours=3), 99, "noop", 1.0, "{}")],
+        [(101, t0 + dt.timedelta(hours=6), 99, "noop", 1.0, "{}")],
+    ]
+    src = str(tmp_path / "sess_events")
+    for k, b in enumerate(batches):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+        now = _time.time()
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (now + 60 * k, now + 60 * k))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    out = session_paths_stream(stream, delay="2 hours")
+    run_to_memory(out, "sess_t", str(tmp_path / "ck_sess"))
+    got = spark.sql("select * from sess_t").collect()
+
+    # the heartbeat user's LAST session can never finalize (the watermark
+    # ends below it) — exclude user 99 from both sides of the parity check
+    stream_counts = {}
+    for r in got:
+        if r["user_id"] != 99:
+            stream_counts[r["path"]] = stream_counts.get(r["path"], 0) + 1
+    batch = session_event_paths(
+        spark.createDataFrame([r for b in batches for r in b if r[2] != 99], schema), top=100
+    ).collect()
+    batch_counts = {r["path"]: r["n_sessions"] for r in batch}
+    assert stream_counts == batch_counts, (stream_counts, batch_counts)
+    # session metadata: u1's first session starts at t0 and holds 3 events
+    first_u1 = min((r for r in got if r["user_id"] == 1), key=lambda r: r["session_start_ms"])
+    assert first_u1["path"] == "view>click>purchase" and first_u1["n_events"] == 3

@@ -352,3 +352,23 @@ def test_source_overlap_exact(spark):
     assert r["containment_pm"] == 666  # floor(1000*2/3)
     pre = source_ngram_overlap(docs, index=word_shingle_keys(docs, 3)).collect()
     assert [tuple(x) for x in pre] == [tuple(x) for x in out]
+
+
+def test_length_percentiles_exact(spark):
+    """q67: percentile_disc semantics on the bounded histogram — smallest
+    n_chars whose cumulative count reaches ceil(pm/1000 * n); integer-ceil
+    rank (no float); per-source isolation."""
+    from maxx_spark.operators.text import length_percentiles
+
+    # src0 gets doc lengths 1..10 (doc_ids even), src1 a single length-5 doc
+    rows = [("x" * L) for L in [1, 3, 5, 7, 9, 11, 13, 15, 17, 19, 5]]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0" if i < 10 else "src1", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in length_percentiles(docs).collect()}
+    # src0: n=10; p50 -> rank ceil(5.0)=5 -> 5th smallest = 9
+    # p90 -> rank 9 -> 17; p99 -> rank ceil(9.9)=10 -> 19
+    assert (out["src0"]["n_docs"], out["src0"]["p50"], out["src0"]["p90"], out["src0"]["p99"]) == (10, 9, 17, 19)
+    # src1: single doc -> every percentile is that value
+    assert (out["src1"]["n_docs"], out["src1"]["p50"], out["src1"]["p99"]) == (1, 5, 5)
