@@ -687,3 +687,69 @@ def test_streaming_session_paths_match_batch(spark, tmp_path):
     # session metadata: u1's first session starts at t0 and holds 3 events
     first_u1 = min((r for r in got if r["user_id"] == 1), key=lambda r: r["session_start_ms"])
     assert first_u1["path"] == "view>click>purchase" and first_u1["n_events"] == 3
+
+
+def test_streaming_funnel_resumes_from_checkpoint(spark, tmp_path):
+    """CEP state survives a restart: run A finalizes the user's first step
+    and stops; run B (same checkpoint, new files) must resume the restored
+    state + watermark + timers and emit ONLY the remaining steps — the
+    union of both runs' emissions equals the batch mirror over all events,
+    with no duplicate and no lost (user, step) row."""
+    from maxx_spark.operators.windows import event_funnel
+    from maxx_spark.streaming.cep import funnel_stream
+    import time as _time
+
+    t0 = dt.datetime(2024, 9, 1, 0, 0, 0)
+    h = lambda x: t0 + dt.timedelta(hours=x)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = str(tmp_path / "resume_events")
+    ckpt = str(tmp_path / "ck_resume")
+
+    def _write(rows, off):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        now = _time.time()
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (now + off, now + off))
+
+    out_dir = str(tmp_path / "resume_out")
+
+    def _run_leg():
+        # memory sink cannot recover from a checkpoint; foreachBatch append
+        # to parquet is the recoverable pattern (same as the E9 sink)
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+        q = (
+            funnel_stream(stream, delay="10 minutes", deadline="100 hours")
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(out_dir) if glob.glob(f"{out_dir}/*.parquet") else None
+        return sorted(
+            (r["user_id"], r["step_idx"], r["step"]) for r in (got.collect() if got else [])
+        )
+
+    # run A: the view + two heartbeats (watermark advance + timer batch)
+    _write([(0, h(0), 1, "view", 1.0, "{}")], 0)
+    _write([(100, h(1), 99, "noop", 1.0, "{}")], 60)
+    _write([(101, h(2), 99, "noop", 1.0, "{}")], 120)
+    got_a = _run_leg()
+    assert got_a == [(1, 0, "view")]  # step 0 finalized before the stop
+
+    # run B: click + purchase arrive AFTER the persisted watermark (t0+2h
+    # - 10min); the restored state must chain them onto the restored step 0
+    _write([(1, h(3), 1, "click", 1.0, "{}")], 180)
+    _write([(2, h(3) + dt.timedelta(minutes=1), 1, "purchase", 1.0, "{}")], 240)
+    _write([(102, h(5), 99, "noop", 1.0, "{}")], 300)
+    _write([(103, h(6), 99, "noop", 1.0, "{}")], 360)
+    got_all = _run_leg()  # cumulative: run A rows + run B emissions
+    assert got_all == [(1, 0, "view"), (1, 1, "click"), (1, 2, "purchase")]
+
+    # cumulative emissions == batch mirror over the full event set
+    all_events = spark.read.schema(schema).parquet(src)
+    batch_n = {r["step_idx"]: r["n_users"] for r in event_funnel(all_events).collect()}
+    assert batch_n == {i: sum(1 for u in got_all if u[1] == i) for i in range(3)}
