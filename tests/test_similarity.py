@@ -90,10 +90,14 @@ def test_knn_quantized_exact(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = [tuple(r) for r in knn_cosine_quantized(df, n_queries=1, k=4).collect()]
-    # qdot vs query [127,0]: v1=16129, v2=16129 (tie -> id asc), v4=0, v3=-16129
+    # dequantized-cosine ranking vs query [1,0]: the raw idot TIES v1/v2 at
+    # 16129, but the scales/norms dequantize them apart — v2 (sb=1.0,
+    # nb=sqrt(1.01), cos~0.995) outranks v1 (sb=0.5, nb=sqrt(0.5),
+    # cos~0.707); the zero vector scores the -2.0 sentinel, above v3's
+    # negative cosine
     assert out == [
-        (0, 1, 16129, 1),
-        (0, 2, 16129, 2),
+        (0, 2, 16129, 1),
+        (0, 1, 16129, 2),
         (0, 4, 0, 3),
         (0, 3, -16129, 4),
     ]
