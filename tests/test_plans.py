@@ -170,12 +170,23 @@ def test_no_unbounded_broadcast_hints_all_queries(spark, sf_dir):
         "q35_scope_resolution": 8,
         "q37_builtin_doc_links": 1,
     }
+    from maxx_spark.plans import executed_plan
+
     bad = {}
+    slow_python = {}
     for name, fn in entry.queries().items():
-        n = broadcast_hint_count(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        n = broadcast_hint_count(df)
         if n != allowed.get(name, 0):
             bad[name] = (n, allowed.get(name, 0))
+        # second registry-wide gate: no row-at-a-time Python UDF anywhere —
+        # BatchEvalPython is the interpreted per-row stage; Arrow-batched
+        # stages (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
+        # remain allowed
+        if "BatchEvalPython" in executed_plan(df):
+            slow_python[name] = True
     assert not bad, f"unexpected broadcast-hint counts (got, expected): {bad}"
+    assert not slow_python, f"row-at-a-time Python UDF in: {sorted(slow_python)}"
 
 
 def test_builtin_expr_links_broadcast(spark):
