@@ -105,7 +105,11 @@ def word_shingle_keys(documents: DataFrame, n: int = 3) -> DataFrame:
 
 
 def _capped_shingles(
-    documents: DataFrame, n: int, max_df: int, index: DataFrame | None = None
+    documents: DataFrame,
+    n: int,
+    max_df: int,
+    index: DataFrame | None = None,
+    df_mode: str = "join",
 ) -> DataFrame:
     """Shingle index with stop-shingle removal: shingles occurring in more
     than ``max_df`` documents are dropped *before* the self-join. A shingle
@@ -123,12 +127,25 @@ def _capped_shingles(
     # Caveat (measured trade, kept deliberately): a pathologically viral
     # shingle lands in ONE window partition before the cap discards it,
     # and AQE cannot split window partitions (it can split skewed joins).
-    # If that ever binds at scale, swap to the agg+join form — its join
-    # output is also shingle-partitioned, so the self-join exchange reuse
-    # survives and every skewed stage becomes AQE-splittable; locally the
-    # window form measured 7.5→5.0 s (round-3 A/B), which is why it stays.
-    w = Window.partitionBy("shingle")
+    # df_mode='join' IS that escape hatch (r5 advisory #3, closed r6): the
+    # df comes from a map-side-combined groupBy (the viral shingle is a
+    # per-partition partial, never one task's row pile), surviving-shingle
+    # keys semi-join back, the join output is also shingle-partitioned so
+    # the downstream self-join exchange reuse survives, and every skewed
+    # stage is AQE-splittable. Byte-equal outputs (test_dedup_df_modes).
+    # DEFAULT = 'join' since r6: the r3 A/B that favored the window
+    # (7.5→5.0 s) predates the 8-byte md5i keys; re-measured on the keyed
+    # index (two interleaved sf0.1 sessions, 7 reps each) the two are a
+    # wash inside box noise (medians: window 6.3 s vs join 5.4 s, ranges
+    # fully overlapping) — so the scale-safe AQE-splittable form wins by
+    # default and 'window' stays for single-box squeezing.
     idx = index if index is not None else word_shingle_keys(documents, n)
+    if df_mode == "join":
+        dfc = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        return idx.join(
+            dfc.where(F.col("__df") <= max_df).select("shingle"), "shingle"
+        )
+    w = Window.partitionBy("shingle")
     return (
         idx
         .withColumn("__df", F.count(F.lit(1)).over(w))
@@ -143,6 +160,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.05,
     max_df: int = 64,
     index: DataFrame | None = None,
+    df_mode: str = "join",
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via inverted index self-join (on the
     stop-shingle-filtered universe, see _capped_shingles).
@@ -164,7 +182,7 @@ def ngram_jaccard_pairs(
     doc_a < doc_b; the Jaccard ratio is re-derivable exactly from the two
     integers, so no float leaves the operator.
     """
-    sh = _capped_shingles(documents, n, max_df, index=index).cache()
+    sh = _capped_shingles(documents, n, max_df, index=index, df_mode=df_mode).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

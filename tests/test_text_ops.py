@@ -372,3 +372,22 @@ def test_length_percentiles_exact(spark):
     assert (out["src0"]["n_docs"], out["src0"]["p50"], out["src0"]["p90"], out["src0"]["p99"]) == (10, 9, 17, 19)
     # src1: single doc -> every percentile is that value
     assert (out["src1"]["n_docs"], out["src1"]["p50"], out["src1"]["p99"]) == (1, 5, 5)
+
+
+def test_dedup_df_modes_equivalent(spark):
+    """_capped_shingles df_mode='join' (the AQE-splittable default since
+    r6) must produce byte-identical q12 output to the count-window form
+    (kept for single-box squeezing)."""
+    from maxx_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different text with no shared grams at all here",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of d0
+        " ".join(["viral gram here"] * 30),  # repeated shingle inside one doc
+    ]
+    docs = _docs(spark, rows)
+    a = sorted(tuple(r) for r in ngram_jaccard_pairs(docs, max_df=3).collect())
+    b = sorted(tuple(r) for r in ngram_jaccard_pairs(docs, max_df=3, df_mode="window").collect())
+    assert a == b and len(a) > 0
