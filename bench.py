@@ -94,7 +94,7 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         ).collect()
         out[name] = round(time.perf_counter() - t0, 3)
     # composed dedup pipeline: build the shingle-key inverted index ONCE,
-    # feed all four dedup consumers (q12/q13/q44/q60 at a shared n=3) —
+    # feed all five dedup consumers (q12/q13/q44/q60/q63 at a shared n=3) —
     # the 100 TB shape, where the index is the dominant build cost and a
     # pipeline never rebuilds it per operator. Reported OUTSIDE the
     # headline total (names don't start with "q"): the solo rows above
@@ -107,6 +107,7 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
             duplicated_span_stats,
             minhash_lsh_pairs,
             ngram_jaccard_pairs,
+            source_ngram_overlap,
             word_shingle_keys,
         )
         from maxx_spark.session import load_tables
@@ -117,7 +118,7 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         idx.count()
         build_s = time.perf_counter() - t0
         for fn in (ngram_jaccard_pairs, minhash_lsh_pairs, dedup_clusters,
-                   duplicated_span_stats):
+                   duplicated_span_stats, source_ngram_overlap):
             df = fn(docs, n=3, index=idx)
             df.select(
                 F.bit_xor(F.xxhash64(*[F.col(c).cast("string") for c in df.columns])).alias("h")
@@ -129,7 +130,8 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
         solo = sum(
             out.get(k, 0.0)
             for k in ("q12_ngram_jaccard", "q13_minhash_lsh",
-                      "q44_dedup_clusters", "q60_dup_span_fraction")
+                      "q44_dedup_clusters", "q60_dup_span_fraction",
+                      "q63_source_overlap")
         )
         out["dedup_shared_index_vs_solo"] = round(total_s / solo, 3) if solo else None
     except Exception:
