@@ -134,7 +134,7 @@ def _split(events, rnd, n_batches):
     return [shuffled[a:b] for a, b in zip([0] + cuts, cuts + [len(shuffled)])]
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120, deadline=None, derandomize=True)
 @given(_schedule_strategy())
 def test_funnel_stream_fn_matches_sequential(sched):
     events, rnd, n_batches, delay = sched
@@ -152,7 +152,7 @@ def test_funnel_stream_fn_matches_sequential(sched):
     assert sorted(out) == sorted(want), (batches, delay)
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120, deadline=None, derandomize=True)
 @given(_schedule_strategy())
 def test_session_paths_fn_matches_sequential(sched):
     events, rnd, n_batches, delay = sched
