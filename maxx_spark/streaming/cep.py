@@ -177,8 +177,14 @@ PATHS_STATE = StructType(
         StructField("buf_ts", ArrayType(LongType())),
         StructField("buf_id", ArrayType(LongType())),
         StructField("buf_type", ArrayType(StringType())),
-        StructField("cur_ts", ArrayType(LongType())),   # open session (finalized, ordered)
+        # open session, O(max_len) regardless of session length: only the
+        # HEAD (first max_len finalized (ts, type) pairs — all the path
+        # ever renders), the last event ts (the gap horizon), and the
+        # event count. A bot streaming one endless session grows NOTHING.
+        StructField("cur_ts", ArrayType(LongType())),
         StructField("cur_type", ArrayType(StringType())),
+        StructField("cur_last", LongType()),
+        StructField("cur_n", IntegerType()),
     ]
 )
 
@@ -187,11 +193,11 @@ def _make_paths_fn(gap_ms: int, max_len: int):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (user_id,) = key
         if state.exists:
-            buf_ts, buf_id, buf_type, cur_ts, cur_type = state.get
+            buf_ts, buf_id, buf_type, cur_ts, cur_type, cur_last, cur_n = state.get
             buf = list(zip(buf_ts, buf_id, buf_type))
-            cur = list(zip(cur_ts, cur_type))
+            head = list(zip(cur_ts, cur_type))
         else:
-            buf, cur = [], []
+            buf, head, cur_last, cur_n = [], [], 0, 0
 
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -204,28 +210,25 @@ def _make_paths_fn(gap_ms: int, max_len: int):
 
         out: list[tuple] = []
 
-        def close(session: list[tuple[int, str]]):
+        def close():
             out.append(
-                (
-                    user_id,
-                    session[0][0],
-                    ">".join(t for _, t in session[:max_len]),
-                    len(session),
-                )
+                (user_id, head[0][0], ">".join(t for _, t in head), cur_n)
             )
 
         for ms, eid, etype in ripe:
-            if cur and ms > cur[-1][0] + gap_ms:
-                close(cur)
-                cur = []
-            cur.append((ms, etype))
+            if cur_n and ms > cur_last + gap_ms:
+                close()
+                head, cur_n = [], 0
+            if cur_n < max_len:
+                head.append((ms, etype))
+            cur_last, cur_n = ms, cur_n + 1
         # the open session closes once the WATERMARK has passed its gap —
-        # no event at or below cur[-1].ts + gap can arrive anymore
-        if cur and wm > cur[-1][0] + gap_ms:
-            close(cur)
-            cur = []
+        # no event at or below cur_last + gap can arrive anymore
+        if cur_n and wm > cur_last + gap_ms:
+            close()
+            head, cur_n = [], 0
 
-        if not cur and not buf:
+        if not cur_n and not buf:
             if state.exists:
                 state.remove()  # nothing pending: a future event recreates state
         else:
@@ -234,14 +237,16 @@ def _make_paths_fn(gap_ms: int, max_len: int):
                     [ev[0] for ev in buf],
                     [ev[1] for ev in buf],
                     [ev[2] for ev in buf],
-                    [e[0] for e in cur],
-                    [e[1] for e in cur],
+                    [e[0] for e in head],
+                    [e[1] for e in head],
+                    cur_last,
+                    cur_n,
                 )
             )
             if buf:
                 state.setTimeoutTimestamp(min(ev[0] for ev in buf) + 1)
             else:  # open session only: fire once its gap elapses
-                state.setTimeoutTimestamp(max(cur[-1][0] + gap_ms, wm) + 1)
+                state.setTimeoutTimestamp(max(cur_last + gap_ms, wm) + 1)
         if out:
             yield pd.DataFrame(out, columns=PATHS_OUT.fieldNames())
 
@@ -260,10 +265,11 @@ def session_paths_stream(
     in-order event lands beyond the gap, or when the watermark itself
     passes the gap horizon (an event-time timer fires the flush, so idle
     sessions emit without waiting for more traffic). State per user =
-    not-yet-finalized events inside the watermark delay + the open
-    session's (ts, type) list — arrival-rate bounded. groupBy(path) counts
-    over a drained stream equal the batch mirror's n_sessions (parity
-    pinned by test)."""
+    not-yet-finalized events inside the watermark delay + O(max_len) for
+    the open session (head types + last ts + count — a bot streaming one
+    endless session grows NOTHING with session length) — arrival-rate
+    bounded. groupBy(path) counts over a drained stream equal the batch
+    mirror's n_sessions (parity pinned by test)."""
     e = events.select("user_id", "event_id", "event_type", "ts").withWatermark("ts", delay)
     return e.groupBy("user_id").applyInPandasWithState(
         _make_paths_fn(int(gap_seconds) * 1000, max_len),
