@@ -73,8 +73,6 @@ def _ts_ms(ts) -> int:
 
 
 def _make_funnel_fn(steps: tuple[str, ...], deadline_ms: int):
-    step_set = set(steps)
-
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (user_id,) = key
         if state.exists:
@@ -85,11 +83,16 @@ def _make_funnel_fn(steps: tuple[str, ...], deadline_ms: int):
             buf, step_ts, max_ts = [], [], 0
 
         if not state.hasTimedOut:  # timer firings carry no input rows
+            # buffer only types that can still match: steps only advance,
+            # so anything outside the REMAINING suffix can never be used —
+            # per-user state shrinks as the funnel progresses (a bot
+            # re-sending completed-step types buffers nothing)
+            remaining = set(steps[len(step_ts):])
             for pdf in pdfs:
                 for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
                     ms = _ts_ms(ts)
                     max_ts = max(max_ts, ms)
-                    if etype in step_set:  # non-step types only advance the clock
+                    if etype in remaining:  # other types only advance the clock
                         buf.append((ms, int(eid), str(etype)))
 
         # finalize: replay events at or below the watermark in strict
