@@ -23,9 +23,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def stage(spark, src: str, n_events: int, n_users: int, n_files: int) -> None:
+def stage(spark, src: str, n_events: int, n_users: int, n_files: int,
+          skew: bool = False) -> None:
     from pyspark.sql import functions as F
 
+    uid = F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_users))
+    if skew:
+        # mega-user: ~30% of ALL events belong to user 0 (a bot) — the
+        # north rule's mega-host shape pointed at the stateful CEP ops
+        uid = F.when(F.pmod(F.xxhash64("id", F.lit(5)), F.lit(10)) < 3, F.lit(0)).otherwise(uid)
     df = (
         spark.range(n_events)
         .select(
@@ -33,7 +39,7 @@ def stage(spark, src: str, n_events: int, n_users: int, n_files: int) -> None:
             F.timestamp_seconds(
                 F.lit(1722500000) + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(21600))
             ).alias("ts"),
-            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_users)).alias("user_id"),
+            uid.alias("user_id"),
             F.element_at(
                 F.array(F.lit("view"), F.lit("click"), F.lit("purchase"), F.lit("noop")),
                 (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(4)) + 1).cast("int"),
@@ -54,6 +60,17 @@ def stage(spark, src: str, n_events: int, n_users: int, n_files: int) -> None:
         .drop("arrival")
     )
     df.write.mode("overwrite").parquet(src)
+    # pin the micro-batch order: 32 parallel write tasks finish in a
+    # nondeterministic order, and FileStreamSource batches by mtime — a
+    # different file order shifts the watermark progression and the
+    # late-drop set, swinging rows_out ~20% run-to-run. part-file names
+    # carry the range-partition (arrival) order, so stamp mtimes to match.
+    import glob as _glob
+    import time as _time
+
+    now = _time.time()
+    for k, f in enumerate(sorted(_glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (now + k, now + k))
 
 
 SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string"
@@ -98,6 +115,8 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=2_000_000)
     ap.add_argument("--users", type=int, default=50_000)
     ap.add_argument("--files", type=int, default=32)
+    ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--out", default="cep_throughput_r6.json")
     args = ap.parse_args()
 
     from maxx_spark.session import get_spark
@@ -105,7 +124,7 @@ def main() -> None:
 
     spark = get_spark("cep-bench", master="local[32]")
     src = "/tmp/maxx_cep_events"
-    stage(spark, src, args.events, args.users, args.files)
+    stage(spark, src, args.events, args.users, args.files, skew=args.skew)
 
     import shutil
 
@@ -126,11 +145,12 @@ def main() -> None:
 
     result = {
         "workload": {"events": args.events, "users": args.users, "files": args.files,
-                     "span_hours": 6, "order": "arrival = event time +-10min jitter (range-sharded files)"},
+                     "span_hours": 6, "skew": args.skew,
+                     "order": "arrival = event time +-10min jitter (range-sharded files)"},
         "funnel_stream": funnel,
         "session_paths_stream": paths,
     }
-    with open(os.path.join(REPO, "BENCH", "cep_throughput_r6.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", args.out), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 

@@ -81,6 +81,7 @@ def _make_funnel_fn(steps: tuple[str, ...], deadline_ms: int):
             step_ts = list(step_ts)
         else:
             buf, step_ts, max_ts = [], [], 0
+        was_complete = len(step_ts) >= len(steps)
 
         if not state.hasTimedOut:  # timer firings carry no input rows
             # buffer only types that can still match: steps only advance,
@@ -109,8 +110,18 @@ def _make_funnel_fn(steps: tuple[str, ...], deadline_ms: int):
                 step_ts.append(ms)
                 out.append((user_id, len(step_ts) - 1, need, ms))
 
-        if len(step_ts) >= len(steps):
-            state.remove()  # complete: nothing further can emit
+        if state.hasTimedOut and was_complete:
+            state.remove()  # tombstone past its deadline: evict
+        elif len(step_ts) >= len(steps):
+            # complete: keep a TOMBSTONE (steps full, buffer empty) so
+            # post-completion events cannot RESTART the funnel — removing
+            # immediately made a mega-user re-enter and re-emit (caught by
+            # the r6 skew bench: rows_out inflated, throughput -34%). The
+            # deadline timer evicts the tombstone; an active user keeps
+            # re-arming it, so no-re-entry holds for the whole active
+            # horizon (the standard streaming-state guarantee bound).
+            state.update(([], [], [], step_ts, max_ts))
+            state.setTimeoutTimestamp(max(max_ts, wm) + deadline_ms)
         elif state.hasTimedOut and not buf and wm >= max_ts + deadline_ms:
             state.remove()  # idle past the deadline: expire the funnel
         else:

@@ -174,3 +174,18 @@ def test_session_paths_fn_matches_sequential(sched):
     if cur:
         want.append((7, cur[0][0], ">".join(x[1] for x in cur[:3]), len(cur)))
     assert sorted(out) == sorted(want), (batches, delay)
+
+
+def test_funnel_no_restart_after_completion():
+    """Regression (r6 skew bench): a completed funnel must TOMBSTONE, not
+    remove — state.remove() made a later event restart the funnel and
+    re-emit (first-touch is once per user for the whole active horizon).
+    The tombstone evicts only via the deadline timer."""
+    fn = _make_funnel_fn(("view",), deadline_ms=10_000_000)
+    batches = [
+        [(1000, 0, "view")],
+        [(30_000, 1, "noop")],   # watermark passes the view -> completion
+        [(31_000, 2, "view")],   # post-completion event must NOT re-emit
+    ]
+    out, _ = _drive(fn, batches, 5_000, horizon_ms=100_000_000)
+    assert out == [(7, 0, "view", 1000)]
