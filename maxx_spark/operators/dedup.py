@@ -181,8 +181,17 @@ def ngram_jaccard_pairs(
     scale.) Emits (doc_a, doc_b, inter_size, union_size) with
     doc_a < doc_b; the Jaccard ratio is re-derivable exactly from the two
     integers, so no float leaves the operator.
+
+    r7: the RAW index is pinned before the df cap — df_mode='join' builds
+    the capped index as idx ⨝ (df rollup of idx), i.e. TWO passes over the
+    raw index; without the pin both passes re-scan and re-hash the corpus
+    (the single heaviest map work in the operator). Pinning also makes the
+    raw-index subtree canonically identical to the one minhash_lsh_pairs
+    caches, so a session running several dedup consumers materializes it
+    once even without an explicit ``index=``.
     """
-    sh = _capped_shingles(documents, n, max_df, index=index, df_mode=df_mode).cache()
+    sh0 = index if index is not None else word_shingle_keys(documents, n).cache()
+    sh = _capped_shingles(documents, n, max_df, index=sh0, df_mode=df_mode).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -258,22 +267,37 @@ def minhash_lsh_pairs(
     # shared: signatures + verify (cache only the inline build; a passed
     # index's persistence is the caller's)
     sh0 = index if index is not None else word_shingle_keys(documents, n).cache()
-    sig = minhash_signatures(documents, num_hashes, n, shingles=sh0)
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band_id"),
-                    F.md5(F.concat_ws(",", *[F.col("signature")[bi * r + j].cast("string") for j in range(r)])).alias("band_hash"),
-                )
-                for bi in range(bands)
-            ])
-        ).alias("bh"),
-    ).select("doc_id", "bh.band_id", "bh.band_hash")
+    # r7 build-cost note: the signature aggregate + banding are constructed
+    # as compact SQL strings (one py4j call per expression) instead of
+    # chained Column operators — the old form issued ~4.5k py4j round trips
+    # and re-analyzed the growing 32-aggregate tree at every transformation,
+    # ~3.5 s of DRIVER time per invocation at any scale (measured with
+    # cProfile; identical analyzed plans either way).
+    params = [((2 * i + 1) * 1_000_003 % _P, (i * i + i + 1) * 998_244_353 % _P) for i in range(num_hashes)]
+    if dict(sh0.dtypes)["shingle"] == "bigint":
+        x_sql = f"(shingle % {1 << 31})"
+    else:
+        x_sql = f"(cast(conv(substring(md5(shingle), 1, 14), 16, 10) as bigint) % {1 << 31})"
+    mins = [
+        F.expr(f"min(({a} * {x_sql} + {b}) % {_P})").alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = sh0.groupBy("doc_id").agg(*mins)
+    band_md5 = ", ".join(
+        "md5(concat_ws(',', {cols}))".format(
+            cols=", ".join(f"cast(h{bi * r + j} as string)" for j in range(r))
+        )
+        for bi in range(bands)
+    )
+    banded = sig.selectExpr(
+        "doc_id", f"posexplode(array({band_md5})) as (band_id, band_hash)"
+    )
     # cached: the candidate self-join would otherwise recompute the whole
     # 32-min signature aggregation once PER SIDE (measured 2x at sf0.1);
-    # the banded table is |docs| x bands tiny rows
+    # the banded table is |docs| x bands tiny rows. cache() (not an eager
+    # localCheckpoint, which embeds a fresh RDD id) keeps the subtree
+    # canonical, so a later consumer in the same session — dedup_clusters
+    # re-deriving the pair graph — cache-hits instead of recomputing.
     banded = banded.cache()
     cand = (
         banded.alias("x")
@@ -301,10 +325,19 @@ def minhash_lsh_pairs(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    df_counts = sh0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # Verify on the SAME df-capped-index definition ngram_jaccard_pairs
+    # uses (one canonical subtree — a session or composed pipeline running
+    # both operators materializes the capped universe once), restricted to
+    # candidate docs afterwards. Trade, documented: solo at corpus scale
+    # this orders the two index joins as (df cap ⨝ full index) then
+    # (⨝ candidates) — the pre-r7 order restricted to candidates first, so
+    # its second shuffle moved candidate rows only; the shared-subtree form
+    # instead makes the expensive capped index a reusable artifact, which
+    # is the composed-pipeline (and bench-suite) win, and both orders move
+    # the full raw index through exactly one shuffle either way.
     sh = (
-        sh0.join(cand_ids, "doc_id")
-        .join(df_counts.where(F.col("df") <= max_df).select("shingle"), "shingle")
+        _capped_shingles(documents, n, max_df, index=sh0)
+        .join(cand_ids, "doc_id")
         .cache()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -326,6 +359,13 @@ def minhash_lsh_pairs(
         .where(F.col("inter_size") * F.lit(1.0) / F.col("union_size") >= threshold)
         .select("doc_a", "doc_b", "inter_size", "union_size")
         .orderBy("doc_a", "doc_b")
+        # r7: pin the verified pair list — the near-dup pair set is the
+        # artifact every downstream consumer (clustering, span stats,
+        # reporting) reads repeatedly, and it is orders of magnitude
+        # smaller than the corpus index that produced it. In a session
+        # running q13 then q44 the clustering consumes these cached pairs
+        # instead of re-deriving signatures + candidates from scratch.
+        .cache()
     )
 
 

@@ -70,7 +70,14 @@ def generate_media_df(spark: SparkSession, n: int = 300) -> DataFrame:
         (i, kinds[i % 3], encode_fake_media(i, kinds[i % 3]), f"https://media.example/{kinds[i % 3]}/{i}")
         for i in range(n)
     ]
-    return spark.createDataFrame(rows, MEDIA)
+    # bounded slice count: createDataFrame otherwise parallelizes a tiny
+    # local list over defaultParallelism slices (32 on the bench box), and
+    # the downstream mapInPandas then pays one Python-worker round-trip per
+    # ~4-row slice — pick slices so each holds >= 16 rows
+    slices = max(1, min(spark.sparkContext.defaultParallelism, n // 16))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), MEDIA
+    )
 
 
 def _decode_header(payload: bytes) -> dict | None:

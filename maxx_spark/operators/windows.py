@@ -91,23 +91,26 @@ def drop_late_events(
     ``withWatermark('ts', delay)`` when arrival order is event_id; the
     streaming pipeline is tested separately in tests/test_streaming.py.
 
-    Plan (the range_ranked shape, operators/ranking.py — NO unpartitioned
-    Window): the global exclusive running max decomposes into
-    ``greatest(max over all earlier partitions, max over earlier rows in my
-    partition)``.
-    1. ``repartitionByRange`` on event_id + local sort + ``localCheckpoint``
-       — partitions hold contiguous arrival ranges; the checkpoint pins the
-       sampled boundaries so the rollup job and the output job see the same
-       partitioning (and is the materializing action itself: eager=False, so
-       the bounded rollup's full scan persists it — one job, not two).
-    2. Bounded per-partition max(ts) rollup (one row per partition,
-       collected like range_ranked's counts), prefix-max on the driver,
-       joined back on partition id (bounded LocalRelation — Catalyst
-       broadcasts it unhinted).
-    3. The within-partition exclusive running max is a Window PARTITIONED
-       by __pid — every task sorts only its own contiguous range.
-    ``greatest`` skips NULLs, so the first partition (no prefix) and each
-    partition's first row (no local predecessor) fall out naturally.
+    Plan (r7 — NO unpartitioned Window, and no range sampler either): the
+    global exclusive running max decomposes into ``greatest(max over all
+    earlier CHUNKS, max over earlier rows in my chunk)`` for any chunking
+    that is monotone in event_id.
+    1. Chunk id = (event_id - min) DIV width, width sized so ~num_partitions
+       chunks exist — a pure DETERMINISTIC projection, so (unlike the old
+       repartitionByRange form) there is no sampling pass to run and no
+       sampled boundary to pin with a localCheckpoint: the only
+       driver-visible state is the (min, max) bounds aggregate. Arrival
+       sequence numbers are dense by construction (they are the arrival
+       order), so equal-width chunks are balanced; an adversarially sparse
+       id space would need the old sampled-range form back.
+    2. Bounded per-chunk max(ts) rollup (map-side combined — the full
+       shuffle the old form paid to range-partition before counting never
+       happens), prefix-max on the driver, joined back on chunk id (bounded
+       LocalRelation — Catalyst broadcasts it unhinted).
+    3. The within-chunk exclusive running max is a Window PARTITIONED by
+       __pid — every task sorts only its own contiguous range.
+    ``greatest`` skips NULLs, so the first chunk (no prefix) and each
+    chunk's first row (no local predecessor) fall out naturally.
     """
     spark = events.sparkSession
     if num_partitions is None:
@@ -115,14 +118,14 @@ def drop_late_events(
             num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         except (TypeError, ValueError):
             num_partitions = 200
-    arrived = (
-        events.repartitionByRange(num_partitions, "event_id")
-        .sortWithinPartitions("event_id")
-        .localCheckpoint(eager=False)
-        .withColumn("__pid", F.spark_partition_id().cast("long"))
+    bounds = events.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi")).first()
+    lo = int(bounds["lo"]) if bounds["lo"] is not None else 0
+    hi = int(bounds["hi"]) if bounds["hi"] is not None else 0
+    width = max(1, (hi - lo + int(num_partitions)) // int(num_partitions))
+    arrived = events.withColumn(
+        "__pid", F.expr(f"(event_id - {lo}) DIV {width}").cast("long")
     )
-    # bounded rollup: one row per physical partition (this full scan also
-    # materializes the lazy checkpoint, pinning the range boundaries)
+    # bounded rollup: one row per chunk, partials combine map-side
     maxes = arrived.groupBy("__pid").agg(F.max("ts").alias("__mx")).collect()
     prefix, acc = [], None
     for row in sorted(maxes, key=lambda r: r["__pid"]):
