@@ -92,6 +92,9 @@ def run_op(spark, src: str, name: str, build, ckpt: str) -> dict:
     )
     q.awaitTermination(1800)
     dt = time.perf_counter() - t0
+    # recentProgress is capped at the last 100 entries — assert we are under
+    # the cap so events_in cannot silently undercount (r6 advisory)
+    assert len(q.recentProgress) < 100, "recentProgress cap hit; use a listener"
     n_in = sum(p["numInputRows"] for p in q.recentProgress)
     peak_state = max(
         (so["numRowsTotal"] for p in q.recentProgress for so in p.get("stateOperators", [])),

@@ -87,6 +87,13 @@ def range_ranked(
             num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         except (TypeError, ValueError):  # e.g. a vendor "auto" setting
             num_partitions = 200
+    # r7: pin the INPUT before range partitioning — repartitionByRange
+    # executes its child twice (once for the range sampler's sketch, once
+    # for the exchange itself), so an expensive upstream (the quality
+    # regexes in quality_stratify, the tf/df aggs in vocab_build) would be
+    # computed twice. The pinned projection is the same slim column set
+    # the post-sort checkpoint below already stores.
+    df = df.localCheckpoint(eager=True)
     ordered = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
         *order_cols
     )

@@ -414,7 +414,10 @@ def knn_cosine_quantized(embeddings: DataFrame, n_queries: int = 10, k: int = 5)
     of single IEEE-double ops on identical operands, so both engines
     compute bit-identical scores; ranks tie-break on neighbor_id and only
     (ids, idot, rank) leave the operator. Zero vectors get score -2
-    (cosine undefined; ranked below every real candidate, above nothing).
+    (cosine undefined; the score is NOT normalized by 127^2, so -2 sits
+    below every mildly-negative candidate but a strongly anti-correlated
+    candidate can score below it — acceptable: such candidates never reach
+    top-k, and the oracle computes the identical formula).
 
     Plan: quantization is a narrow projection (no shuffle); the fixed
     n_queries query rows broadcast; each candidate is touched once."""

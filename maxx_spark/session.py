@@ -114,6 +114,11 @@ def get_spark(
         # parquet scans: 128 MB splits are the right granularity for both
         # local[32] at sf0.1 and a 1000-executor cluster at 100 TB.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # answer bare MIN/MAX/COUNT aggregates from parquet footer
+        # statistics instead of scanning row groups (off by default; pure
+        # scan-level win at any scale — q09's watermark-chunk bounds agg
+        # is footer-only with it)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         # INT96 (the default) carries no parquet column statistics; the
         # sink's footer-based lineage needs min/max on the event-time column

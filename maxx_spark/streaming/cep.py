@@ -99,8 +99,12 @@ def _make_funnel_fn(steps: tuple[str, ...], deadline_ms: int):
         # finalize: replay events at or below the watermark in strict
         # (ts, event_id) order; later events stay buffered
         wm = state.getCurrentWatermarkMs()
-        ripe = sorted(ev for ev in buf if ev[0] <= wm)
-        buf = [ev for ev in buf if ev[0] > wm]
+        # STRICTLY below the watermark only (r6 advisory): Spark's late
+        # filter admits an event with ts exactly equal to the watermark, so
+        # finalizing at <= wm could order a same-ms straggler after events
+        # already replayed — ts == wm stays buffered until wm passes it
+        ripe = sorted(ev for ev in buf if ev[0] < wm)
+        buf = [ev for ev in buf if ev[0] >= wm]
         out: list[tuple] = []
         for ms, eid, etype in ripe:
             if len(step_ts) >= len(steps):
@@ -137,7 +141,7 @@ def _make_funnel_fn(steps: tuple[str, ...], deadline_ms: int):
             if buf:
                 # ripeness timer: groups get NO further invocations without
                 # input, so re-fire just past the earliest buffered event
-                # (strictly ahead of wm — anything <= wm was finalized above)
+                # (strictly ahead of wm — anything < wm was finalized above)
                 state.setTimeoutTimestamp(min(ev[0] for ev in buf) + 1)
             else:
                 # expiry timer: deadline past the newer of user clock and
@@ -160,9 +164,15 @@ def funnel_stream(
     row per (user, reached step) with the first-touch event time;
     ``groupBy(step_idx).count()`` over a drained stream equals q64's
     n_users column (parity pinned by test_streaming_funnel_*)."""
-    n, unit = deadline.split()
-    deadline_ms = int(n) * {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-                            "hour": 3600, "hours": 3600}[unit] * 1000
+    _UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+              "hour": 3600, "hours": 3600}
+    try:
+        n, unit = deadline.split()
+        deadline_ms = int(n) * _UNITS[unit] * 1000
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"deadline must look like '<n> second(s)|minute(s)|hour(s)', got {deadline!r}"
+        ) from None
     e = events.select("user_id", "event_id", "event_type", "ts").withWatermark("ts", delay)
     return e.groupBy("user_id").applyInPandasWithState(
         _make_funnel_fn(tuple(steps), deadline_ms),
@@ -219,8 +229,12 @@ def _make_paths_fn(gap_ms: int, max_len: int):
                     buf.append((_ts_ms(ts), int(eid), str(etype)))
 
         wm = state.getCurrentWatermarkMs()
-        ripe = sorted(ev for ev in buf if ev[0] <= wm)
-        buf = [ev for ev in buf if ev[0] > wm]
+        # STRICTLY below the watermark only (r6 advisory): Spark's late
+        # filter admits an event with ts exactly equal to the watermark, so
+        # finalizing at <= wm could order a same-ms straggler after events
+        # already replayed — ts == wm stays buffered until wm passes it
+        ripe = sorted(ev for ev in buf if ev[0] < wm)
+        buf = [ev for ev in buf if ev[0] >= wm]
 
         out: list[tuple] = []
 

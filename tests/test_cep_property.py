@@ -2,8 +2,8 @@
 run WITHOUT Spark: a faithful GroupState stand-in drives the exact pandas
 functions Spark would call, under hypothesis-generated random event sets,
 random micro-batch partitionings, and the real watermark contract —
-events at or below the during-batch watermark are dropped before delivery
-(Spark's late filter), watermarks are nondecreasing and lag arrivals by
+events strictly below the during-batch watermark are dropped before
+delivery (Spark's late filter admits ts == wm), watermarks are nondecreasing and lag arrivals by
 ``delay``, and armed event-time timers fire whenever the watermark passes
 them (including cascaded firings during the final drain).
 
@@ -74,13 +74,13 @@ def _drive(fn, batches, delay_ms, horizon_ms):
     """Run fn over the batch schedule with Spark's watermark rules; returns
     (emitted row tuples, delivered events). Watermark for batch k = max
     event ts seen in batches 0..k-1 minus delay (never regressing); rows
-    with ts <= wm are dropped before delivery. After the schedule, the
+    with ts < wm are dropped before delivery (ts == wm is admitted). After the schedule, the
     watermark advances to horizon and armed timers fire until quiescent."""
     state = FakeState()
     out, delivered = [], []
     wm, seen_max = 0, 0
     for batch in batches:
-        live = [e for e in batch if e[0] > wm]
+        live = [e for e in batch if e[0] >= wm]
         delivered.extend(live)
         if live:
             state.hasTimedOut = False
