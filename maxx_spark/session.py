@@ -54,15 +54,27 @@ def _warm_session(spark: SparkSession, cores: int) -> None:
             F.sum(F.col("id").cast("decimal(18,4)")),
             F.count(F.lit(1)),
         ).orderBy("k").collect()
-        # (3) parquet write + vectorized read + filter pushdown path
+        # (3) parquet write + vectorized read (incl. DECIMAL decode) +
+        # filter pushdown path
         d = tempfile.mkdtemp(prefix="maxx_warm_")
         try:
-            proj.withColumn("v", F.col("id").cast("double")).write.mode(
-                "overwrite"
-            ).parquet(f"{d}/w")
-            spark.read.parquet(f"{d}/w").where(F.col("id") > 10).agg(
-                F.sum("v"), F.max("h")
+            proj.withColumn("v", F.col("id").cast("double")).withColumn(
+                "m", F.col("id").cast("decimal(18,4)")
+            ).write.mode("overwrite").parquet(f"{d}/w")
+            back = spark.read.parquet(f"{d}/w")
+            back.where(F.col("id") > 10).agg(
+                F.sum("v"), F.max("h"), F.sum("m")
             ).collect()
+            # (4) window + sort-merge join machinery (UnsafeExternalSorter,
+            # SMJ iterators, WindowExec frames JIT once per JVM)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("k").orderBy("id")
+            lhs = back.select("k", "id", F.row_number().over(w).alias("rn"))
+            rhs = back.select(F.col("k").alias("k2"), F.col("id").alias("id2"))
+            lhs.hint("merge").join(
+                rhs, (F.col("k") == F.col("k2")) & (F.col("id") == F.col("id2"))
+            ).agg(F.count(F.lit(1))).collect()
         finally:
             shutil.rmtree(d, ignore_errors=True)
     except Exception:
