@@ -391,3 +391,60 @@ def test_dedup_df_modes_equivalent(spark):
     a = sorted(tuple(r) for r in ngram_jaccard_pairs(docs, max_df=3).collect())
     b = sorted(tuple(r) for r in ngram_jaccard_pairs(docs, max_df=3, df_mode="window").collect())
     assert a == b and len(a) > 0
+
+
+def test_minhash_string_index_equivalent(spark, sf_dir):
+    """r7: minhash_lsh_pairs builds its hash arithmetic as SQL strings with
+    two x-derivations (pre-hashed bigint keys vs md5i over a raw STRING
+    shingle index). Both index forms must produce identical pairs — pins
+    the rarely-exercised string branch against the rewrite."""
+    from maxx_spark.operators.dedup import minhash_lsh_pairs, word_shingles
+    from maxx_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    idx_str = word_shingles(docs, 3)
+    assert dict(idx_str.dtypes)["shingle"] == "string"
+    base = minhash_lsh_pairs(docs, n=3)
+    via_str = minhash_lsh_pairs(docs, n=3, index=idx_str)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, via_str.collect()))
+
+
+def test_drop_late_events_matches_sequential_reference(spark):
+    """r7: drop_late_events switched from sampled range partitions to
+    deterministic event_id chunks — pin the kept set against a sequential
+    reference (arrival order = event_id; watermark = running max(ts) over
+    strictly-earlier arrivals minus delay; late iff ts < wm), including
+    sparse/skewed id spaces and an all-late tail."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from maxx_spark.operators.windows import drop_late_events
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # sparse, non-contiguous ids; ts deliberately out of order with a late
+    # straggler far behind the running max
+    spec = [
+        (3, 0), (10, 50), (11, 40), (500, 45), (501, 2), (502, 55),
+        (90_000, 56), (90_001, 30), (90_002, 57), (90_003, 58),
+    ]
+    for eid, mins in spec:
+        rows.append((eid, base + dt.timedelta(minutes=mins), eid % 3, "t", 1.0))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    delay_min = 10
+    kept_ref = []
+    mx = None
+    for eid, mins in sorted(spec):
+        ts = base + dt.timedelta(minutes=mins)
+        wm = None if mx is None else mx - dt.timedelta(minutes=delay_min)
+        if wm is None or ts >= wm:
+            kept_ref.append(eid)
+        mx = ts if mx is None else max(mx, ts)
+    got = sorted(
+        r["event_id"]
+        for r in drop_late_events(events, delay=f"{delay_min} minutes").collect()
+    )
+    assert got == sorted(kept_ref), (got, kept_ref)
