@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from maxx_spark.operators.spread import spread_scan
+
 DEC = "decimal(18,4)"
 
 
@@ -59,8 +61,12 @@ def revenue_by_nation(customer: DataFrame, orders: DataFrame, lineitem: DataFram
     # customer scales linearly with SF (~150k x SF rows) — no broadcast hint;
     # AQE still broadcasts it at runtime when it is genuinely small. Hints
     # stay only on nation/region, the fixed 25/5-row dims.
+    # spread_scan: when every dim broadcasts, the probe side runs decode +
+    # 4 hash probes + partial agg with NO exchange anywhere — an
+    # unsplittable single-row-group fact file serializes that whole chain
+    # on one task (guide §2.5); no-op on an already-parallel scan.
     return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        spread_scan(lineitem).join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
