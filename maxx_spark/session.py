@@ -20,8 +20,8 @@ from pyspark.sql import SparkSession
 
 
 def _warm_session(spark: SparkSession, cores: int) -> None:
-    """One-time session warmup (fixed ~1-2 s, data-independent, disable
-    with SPARK_GRAFT_WARMUP=0). Two deliberate targets, both measured to
+    """One-time session warmup (fixed ~5-7 s, data-independent, disable
+    with SPARK_GRAFT_WARMUP=0). Deliberate targets, each measured to
     otherwise land inside the FIRST user query that needs them:
 
     1. the Python worker pool — worker spawn is ~60-100 ms each and pool
